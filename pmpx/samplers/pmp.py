@@ -1,0 +1,194 @@
+"""PMP — prefetching multiple-proposal MCMC, the unified tree engine.
+
+One engine covers all non-HMC sampler families of the reference:
+
+* **PMP** general (N, depth) tree: ``simple_sampling/error/error.py:137-190``,
+  ``simple_net/lb.py:286-369`` (``GMpreOptimizerV2``),
+  ``conv_pmp.cu`` (N_step proposals per node, table-driven).
+* **PSP / binary PMP** (1 proposal per node, depth log2(P)):
+  ``error.py:78-134``, ``lb.py:189-279``, ``PMP_FC.py``, ``convery_time_PMP.cu``
+  — exactly ``N=1`` here; the reference's ``judg`` while-loop partner decoding
+  is the N=1 special case of the mixed-radix group indexing (see
+  ``pmpx.tree``), verified bit-exactly in tests.
+* **MP** flat multiple-try Metropolis: ``error.py:43-77``, ``lb.py:122-186``,
+  ``conv_mp.cu`` — exactly ``depth=1`` here (a single sibling group; the
+  global categorical normalizes, so flat-MTM raw weights and the normalized
+  per-group weights sample identically).
+
+Superstep structure (all on-device, inside jit):
+
+1. proposal-tree generation: one (P, d) Gaussian innovation draw, positions
+   via a single ``path_matrix @ eps`` MXU contraction (replaces the serial
+   deepcopy loops ``lb.py:352-360`` and host tree build ``conv_pmp.cu:181-221``);
+2. batched target evaluation of all P nodes at once;
+3. per-level generalized-MTM weights with Barker/MTM normalization in log
+   space (replaces linear-space products + exp-shift hacks);
+4. on-device categorical resampling and next-root selection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pmpx import tree as tree_mod
+from pmpx.transition import GaussianRW
+from pmpx.samplers.base import Target, batch_log_prob
+from pmpx.samplers.stabilize import stabilize_logits
+
+__all__ = ["PMPConfig", "tree_positions", "log_accept_tree", "make_superstep"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PMPConfig:
+    """Configuration of one PMP sampler.
+
+    N : proposals per node per level (branching factor).
+    depth : speculation levels.  ``depth=1`` is flat MP; ``N=1`` is the
+        binary prefetching tree.
+    step_size : proposal random-walk sigma (the reference's ``alpha``).
+    trans_sigma : transition *density* sigma used in the MTM weights.  The
+        reference almost always keeps this at 1.0 even when proposing with
+        ``alpha`` (``lb.py:111-116``, ``conv_mp.cu:22-31``); set equal to
+        ``step_size`` for the self-consistent kernel.
+    trans_normalize_by : divide pairwise log-K by this (``PMP_FC.py:115``'s
+        ``/para_num``); 0 means "use d" (auto).
+    selection : what becomes of the P weighted draws —
+        * ``"all_uniform"``: emit all P resampled states, next root uniform
+          among them (``error.py:175-183``, ``lb.py:332-344``);
+        * ``"all_first"``: emit all P, next root is draw 0
+          (``conv_mp.cu:226-259``);
+        * ``"single"``: one multinomial draw is both the emitted sample and
+          the next root (``PMP_FC.py:141-143``).
+    stabilizer : ``"none"`` (exact) or ``"zscore"`` (reference NN parity).
+    nan_guard : replace non-finite weights with weight 1.
+    """
+
+    N: int
+    depth: int
+    step_size: float
+    trans_sigma: float = 1.0
+    trans_normalize_by: float = 1.0
+    selection: str = "all_uniform"
+    stabilizer: str = "none"
+    nan_guard: bool = True
+
+    def __post_init__(self):
+        if self.selection not in ("all_uniform", "all_first", "single"):
+            raise ValueError(f"unknown selection mode {self.selection!r}")
+
+    @property
+    def P(self) -> int:
+        return tree_mod.num_nodes(self.N, self.depth)
+
+    def topology(self) -> tree_mod.TreeTopology:
+        return tree_mod.topology(self.N, self.depth)
+
+    def transition(self) -> GaussianRW:
+        return GaussianRW(
+            sigma=self.trans_sigma, normalize_by=self.trans_normalize_by
+        )
+
+
+def tree_positions(
+    theta: jnp.ndarray, eps: jnp.ndarray, topo: tree_mod.TreeTopology
+) -> jnp.ndarray:
+    """All P speculative positions from the current state and innovations.
+
+    ``Y[x] = theta + sum of eps over the root->x creation path``; computed as
+    one matmul against the static 0/1 path matrix.  ``eps`` is (P, d);
+    ``eps[0]`` is ignored (the root carries no innovation).
+    """
+    pm = jnp.asarray(topo.path_matrix)
+    # HIGHEST precision: positions feed log-densities; the default reduced
+    # matmul precision would perturb the chain itself.
+    return theta[None, :] + jnp.dot(
+        pm,
+        eps,
+        preferred_element_type=eps.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def log_accept_tree(
+    Y: jnp.ndarray,
+    logpi: jnp.ndarray,
+    topo: tree_mod.TreeTopology,
+    trans: GaussianRW,
+) -> jnp.ndarray:
+    """Per-node log acceptance weights via the per-level generalized-MTM walk.
+
+    For each level i with stride ``temp=(N+1)**i`` and sibling groups
+    ``m[h, j] = h + j*temp``:
+
+        w[h, j] = pi(Y[m_hj]) * prod_{k != j} K(Y[m_hj] -> Y[m_hk])
+        contribution[x] = log( w[h_i(x), c_i(x)] / sum_j w[h_i(x), j] )
+
+    (``error.py:160-173``); the final weight is the sum of contributions over
+    levels.  For N=1 this is exactly the Barker factor walk of the reference's
+    ``judg`` loops (``error.py:103-121``).  Deeper nodes inherit ancestor
+    contributions through the residue indexing — the intent of the
+    reference's broadcast loop (``error.py:171-173``), expressed exactly.
+    """
+    base = topo.N + 1
+    logA = jnp.zeros(topo.P, dtype=Y.dtype)
+    for i in range(topo.depth):
+        m = jnp.asarray(topo.group_members[i])  # (temp, base)
+        temp = m.shape[0]
+        G = Y[m.reshape(-1)].reshape(temp, base, Y.shape[-1])
+        logK = trans.pairwise(G)  # (temp, base, base)
+        # sum over k != j of logK[h, j, k]
+        offdiag = jnp.sum(logK, axis=-1) - jnp.diagonal(
+            logK, axis1=-2, axis2=-1
+        )
+        lw = logpi[m] + offdiag  # (temp, base)
+        contrib = lw - jax.scipy.special.logsumexp(lw, axis=-1, keepdims=True)
+        logA = logA + contrib.reshape(-1)[jnp.asarray(topo.gather[i])]
+    return logA
+
+
+def make_superstep(target: Target, cfg: PMPConfig):
+    """Build the pure superstep ``(key, theta) -> (theta', out)``.
+
+    ``out`` is a dict with:
+      * ``samples``: (P, d) emitted states (modes ``all_*``) or (1, d)
+        (mode ``single``);
+      * ``log_accept``: (P,) raw log weights;
+      * ``root_index``: chosen next-root node index (into the tree).
+    """
+    topo = cfg.topology()
+    trans = cfg.transition()
+    P, d = topo.P, target.d
+
+    def superstep(key: jnp.ndarray, theta: jnp.ndarray):
+        k_eps, k_draw, k_root = jax.random.split(key, 3)
+        eps = cfg.step_size * jax.random.normal(k_eps, (P, d), theta.dtype)
+        Y = tree_positions(theta, eps, topo)
+        logpi = batch_log_prob(target, Y)
+        logA = log_accept_tree(Y, logpi, topo, trans)
+        logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
+
+        if cfg.selection == "single":
+            idx = jax.random.categorical(k_draw, logits)
+            theta2 = Y[idx]
+            samples = theta2[None, :]
+            root = idx
+        else:
+            draws = jax.random.categorical(k_draw, logits, shape=(P,))
+            samples = Y[draws]
+            if cfg.selection == "all_uniform":
+                pick = jax.random.randint(k_root, (), 0, P)
+                root = draws[pick]
+            else:  # all_first
+                root = draws[0]
+            theta2 = Y[root]
+        return theta2, {
+            "samples": samples,
+            "log_accept": logA,
+            "root_index": root,
+        }
+
+    return superstep

@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference "tests" multi-device only by hand-pinning processes to GPUs
+(``cudaSetDevice``; SURVEY.md §4).  Here the CPU backend with
+``--xla_force_host_platform_device_count=8`` is the fake multi-chip backend
+the reference lacks: all sharding paths compile and execute in CI without
+TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU pin
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
