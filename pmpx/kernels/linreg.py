@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: batched residual-sum-of-squares for Bayesian linreg.
+
+TPU-native equivalent of the reference's CUDA likelihood kernels
+(``conv_mp.cu:10-36``, ``conv_pmp.cu:10-36``, clones in ``convery_time_*.cu``,
+``ess_per_s_*.cu``, ``500_*.cu``, ``100000_*.cu``): one GPU thread per
+proposal serially loops over all data points.  Here the same O(P*n) sweep is
+expressed as VPU-wide tiles: data lives in VMEM as a (rows, 128) lane-major
+grid, a sublane-block of proposals is evaluated against a data block with one
+(TP, rows, 128) fused broadcast-multiply-accumulate, and the per-proposal
+partial sums accumulate in the output block across the data grid dimension.
+
+The kernel computes only ``rss[p] = sum_i (y_i - b0_p - b1_p x_i)^2``; the
+remaining per-proposal terms of the Gaussian log-likelihood
+(``-n/2 log(2 pi sigma_p^2) - rss_p / (2 sigma_p^2)``) are O(P) and fuse into
+the surrounding jit (see ``pmpx.targets.linreg``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["batched_rss", "batched_rss_xla"]
+
+_LANES = 128
+# proposals per grid step (sublane dimension of the broadcast tile)
+_TP = 16
+# data rows per grid step; each row is 128 lanes -> 32768 points per block
+_ROWS = 256
+
+
+def _rss_kernel(b0_ref, b1_ref, x_ref, y_ref, out_ref):
+    """One (proposal-block, data-block) grid cell.
+
+    b0_ref, b1_ref : (TP, 1) VMEM — proposal intercepts/slopes
+    x_ref, y_ref   : (ROWS, 128) VMEM — data block (zero-padded tail)
+    out_ref        : (TP, 1) VMEM — per-proposal RSS accumulator
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    b0 = b0_ref[...][:, :, None]  # (TP, 1, 1)
+    b1 = b1_ref[...][:, :, None]
+    x = x_ref[...][None, :, :]  # (1, ROWS, 128)
+    y = y_ref[...][None, :, :]
+    r = y - b0 - b1 * x  # (TP, ROWS, 128)
+    # keep intermediates >= 2-D (1-D vectors trip Mosaic layout inference)
+    s = jnp.sum(r * r, axis=1)  # (TP, 128)
+    out_ref[...] += jnp.sum(s, axis=1, keepdims=True)  # (TP, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_rss(
+    b0: jnp.ndarray,
+    b1: jnp.ndarray,
+    x2d: jnp.ndarray,
+    y2d: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """RSS of P linear models over lane-major data.
+
+    b0, b1 : (P,) proposal parameters; P must be a multiple of 16.
+    x2d, y2d : (rows, 128) data, zero-padded at the tail.  NOTE: each padded
+        point contributes (0 - b0)^2 = b0^2; callers subtract
+        ``pad_count * b0**2`` analytically (see pmpx.targets.linreg).
+    Returns (P,) float32.
+    """
+    P = b0.shape[0]
+    rows = x2d.shape[0]
+    if P % _TP:
+        raise ValueError(f"P={P} must be a multiple of {_TP}")
+    row_blk = min(_ROWS, rows)
+    if rows % row_blk:
+        raise ValueError(f"rows={rows} must be a multiple of {row_blk}")
+
+    grid = (P // _TP, rows // row_blk)
+    out = pl.pallas_call(
+        _rss_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TP, 1), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TP, 1), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (row_blk, _LANES), lambda i, r: (r, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (row_blk, _LANES), lambda i, r: (r, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TP, 1), lambda i, r: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * P * rows * _LANES,
+            bytes_accessed=(P // _TP) * rows * _LANES * 8 + P * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(b0[:, None], b1[:, None], x2d, y2d)
+    return out[:, 0]
+
+
+@jax.jit
+def batched_rss_xla(b0, b1, x2d, y2d):
+    """Pure-XLA fallback of :func:`batched_rss` (same padded-data contract).
+
+    Used on non-TPU backends and as the numerical oracle in tests.  Chunked
+    over data rows to bound the (P, chunk, 128) intermediate.
+    """
+    P = b0.shape[0]
+    rows = x2d.shape[0]
+    chunk = min(_ROWS, rows)
+
+    def body(acc_and_idx, _):
+        acc, r0 = acc_and_idx
+        xs = jax.lax.dynamic_slice(x2d, (r0, 0), (chunk, _LANES))
+        ys = jax.lax.dynamic_slice(y2d, (r0, 0), (chunk, _LANES))
+        r = (
+            ys[None, :, :]
+            - b0[:, None, None]
+            - b1[:, None, None] * xs[None, :, :]
+        )
+        return (acc + jnp.sum(r * r, axis=(1, 2)), r0 + chunk), None
+
+    (acc, _), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((P,), jnp.float32), 0),
+        None,
+        length=rows // chunk,
+    )
+    return acc

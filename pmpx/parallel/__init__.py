@@ -1,0 +1,23 @@
+from pmpx.parallel.mesh import (
+    AXIS_CHAINS,
+    AXIS_DATA,
+    AXIS_TREE,
+    make_mesh,
+)
+from pmpx.parallel.chains import (
+    run_chains_data_sharded,
+    run_chains_sharded,
+    run_chains_vmapped,
+)
+from pmpx.parallel.sharded_linreg import ShardedLinReg
+
+__all__ = [
+    "AXIS_CHAINS",
+    "AXIS_DATA",
+    "AXIS_TREE",
+    "make_mesh",
+    "run_chains_data_sharded",
+    "run_chains_sharded",
+    "run_chains_vmapped",
+    "ShardedLinReg",
+]

@@ -18,4 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU plugin before conftest runs
+# and wins over JAX_PLATFORMS; this config update (before any backend init)
+# wins back.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
