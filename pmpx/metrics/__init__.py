@@ -1,0 +1,20 @@
+from pmpx.metrics.ess import autocov, ess, ess_per_dim, split_rhat
+from pmpx.metrics.mixing import move_rate, msjd, skewness
+from pmpx.metrics.recorder import (
+    load_trace,
+    reference_style_name,
+    save_trace,
+)
+
+__all__ = [
+    "autocov",
+    "ess",
+    "ess_per_dim",
+    "split_rhat",
+    "move_rate",
+    "msjd",
+    "skewness",
+    "load_trace",
+    "reference_style_name",
+    "save_trace",
+]

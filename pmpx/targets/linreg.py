@@ -132,19 +132,43 @@ class BayesLinReg:
             -0.5 * self.n * (_LOG_2PI + jnp.log(s2)) - rss / (2.0 * s2)
         )
 
+    def _rss_padded(self, b0, b1):
+        """RSS handling the sweep kernels' multiple-of-16 proposal tiling."""
+        P = b0.shape[0]
+        if self.method != "suffstats" and P % 16:
+            pad = 16 - P % 16
+            b0p = jnp.concatenate([b0, jnp.zeros((pad,), b0.dtype)])
+            b1p = jnp.concatenate([b1, jnp.zeros((pad,), b1.dtype)])
+            return self._rss(b0p, b1p)[:P]
+        return self._rss(b0, b1)
+
     # -- Target protocol ---------------------------------------------------
     def log_prob(self, theta):
         return self.log_prob_batch(theta[None, :])[0]
 
-    def log_prob_batch(self, Theta):
-        P = Theta.shape[0]
+    def value_and_grad_batch(self, Theta):
+        """Fused (log-lik, gradient) for HMC proposal flavors.
+
+        The Pallas sweep kernel has no autodiff rule; the gradient of the
+        linreg log-likelihood is closed-form in the five data sufficient
+        statistics, so values come from the configured method and gradients
+        are exact analytic expressions — no differentiation through the
+        kernel needed.
+        """
         b0, b1, sigma = Theta[:, 0], Theta[:, 1], Theta[:, 2]
-        if self.method != "suffstats" and P % 16:
-            # sweep kernels tile proposals by 16; pad and slice
-            pad = 16 - P % 16
-            b0p = jnp.concatenate([b0, jnp.zeros((pad,), b0.dtype)])
-            b1p = jnp.concatenate([b1, jnp.zeros((pad,), b1.dtype)])
-            rss = self._rss(b0p, b1p)[:P]
-        else:
-            rss = self._rss(b0, b1)
+        rss = self._rss_padded(b0, b1)
+        vals = self._loglik_from_rss(rss, sigma)
+        sx, sy, sxx, _, sxy = self.stats
+        sig = jnp.where(jnp.abs(sigma) < 1e-15, 1e-15, sigma)
+        s2 = sig * sig
+        drss_db0 = 2.0 * (self.n * b0 + b1 * sx - sy)
+        drss_db1 = 2.0 * (b0 * sx + b1 * sxx - sxy)
+        g0 = -self.temper * drss_db0 / (2.0 * s2)
+        g1 = -self.temper * drss_db1 / (2.0 * s2)
+        g2 = self.temper * (-self.n / sig + rss / (sig * s2))
+        return vals, jnp.stack([g0, g1, g2], axis=-1)
+
+    def log_prob_batch(self, Theta):
+        b0, b1, sigma = Theta[:, 0], Theta[:, 1], Theta[:, 2]
+        rss = self._rss_padded(b0, b1)
         return self._loglik_from_rss(rss, sigma)
