@@ -1,0 +1,75 @@
+"""pmpx command-line interface.
+
+One entrypoint replaces the reference's 30 hand-edited scripts and its lone
+argparse CLI (``Bayesian Network Training/main.py:15-22``):
+
+    python -m pmpx.cli list
+    python -m pmpx.cli run error_boxplot --times 5
+    python -m pmpx.cli run bnn --n 3 --scale paper
+    python -m pmpx.cli run time_analysis --iters 500
+
+Arbitrary ``--key value`` pairs are forwarded to the experiment's ``run()``
+(ints/floats/bools/tuples parsed from the string).  Results print as one
+JSON object.  Device selection is JAX-native (set ``JAX_PLATFORMS`` /
+``CUDA_VISIBLE_DEVICES``-analog mesh flags instead of the reference's
+``--gpu`` and hardcoded ``cudaSetDevice`` constants).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+
+from pmpx.experiments import EXPERIMENTS
+
+
+def _parse_value(v: str):
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if "," in v:
+        return tuple(_parse_value(p) for p in v.split(",") if p)
+    return v
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="pmpx")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list experiments")
+    runp = sub.add_parser("run", help="run an experiment")
+    runp.add_argument("experiment", choices=EXPERIMENTS)
+    args, extra = parser.parse_known_args(argv)
+
+    if args.cmd == "list":
+        for e in EXPERIMENTS:
+            mod = importlib.import_module(f"pmpx.experiments.{e}")
+            doc = (mod.__doc__ or "").strip().splitlines()[0]
+            print(f"{e:16s} {doc}")
+        return 0
+
+    overrides = {}
+    it = iter(extra)
+    for tok in it:
+        if not tok.startswith("--"):
+            raise SystemExit(f"unexpected argument {tok!r}")
+        key = tok[2:].replace("-", "_")
+        try:
+            val = next(it)
+        except StopIteration:
+            raise SystemExit(f"missing value for {tok!r}")
+        overrides[key] = _parse_value(val)
+
+    mod = importlib.import_module(f"pmpx.experiments.{args.experiment}")
+    result = mod.run(**overrides)
+    print(json.dumps(result, indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

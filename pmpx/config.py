@@ -1,0 +1,142 @@
+"""Declarative experiment configuration.
+
+The reference's "config system" is editing hardcoded constants at the top of
+30 copy-pasted scripts (SURVEY.md §5; the lone CLI is
+``Bayesian Network Training/main.py:15-22`` with ``--gpu``/``--N``).  Here
+one dataclass tree covers (target, algorithm, N, depth, alpha, tempering,
+steps, selection, stabilizer, mesh, seed) and loads from YAML/JSON or CLI
+overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional
+
+__all__ = ["SamplerSpec", "RunSpec", "load_spec"]
+
+
+@dataclasses.dataclass
+class SamplerSpec:
+    """Which sampler and its knobs.
+
+    algo: mh | mp | pmp | sp_hmc | mp_hmc | pmp_hmc
+    """
+
+    algo: str = "pmp"
+    N: int = 1
+    depth: int = 3
+    step_size: float = 0.1
+    trans_sigma: float = 1.0
+    selection: str = "all_uniform"
+    stabilizer: str = "none"
+    rule: str = "barker"  # HMC acceptance rule / MH rule
+    mom_scale: float = 1.0
+    num_leapfrog: int = 1
+    accept_scale: float = 1.0
+
+    def build(self, target):
+        """Return the superstep for this spec over ``target``."""
+        from pmpx.samplers import hmc, mh, mp, pmp
+        from pmpx.samplers.hmc import HMCConfig, MPHMCConfig, PMPHMCConfig
+        from pmpx.samplers.mh import MHConfig
+        from pmpx.samplers.mp import MPConfig
+        from pmpx.samplers.pmp import PMPConfig
+
+        if self.algo == "mh":
+            rule = self.rule if self.rule in ("metropolis", "barker") else "metropolis"
+            return mh.make_superstep(
+                target, MHConfig(step_size=self.step_size, rule=rule)
+            )
+        if self.algo == "mp":
+            return mp.make_superstep(
+                target,
+                MPConfig(
+                    N=self.N,
+                    step_size=self.step_size,
+                    trans_sigma=self.trans_sigma,
+                    selection=self.selection,
+                    stabilizer=self.stabilizer,
+                ),
+            )
+        if self.algo == "pmp":
+            return pmp.make_superstep(
+                target,
+                PMPConfig(
+                    N=self.N,
+                    depth=self.depth,
+                    step_size=self.step_size,
+                    trans_sigma=self.trans_sigma,
+                    selection=self.selection,
+                    stabilizer=self.stabilizer,
+                ),
+            )
+        if self.algo == "sp_hmc":
+            return hmc.make_superstep(
+                target,
+                HMCConfig(
+                    step_size=self.step_size,
+                    mom_scale=self.mom_scale,
+                    accept_scale=self.accept_scale,
+                    num_leapfrog=self.num_leapfrog,
+                ),
+            )
+        if self.algo == "mp_hmc":
+            return hmc.make_superstep(
+                target,
+                MPHMCConfig(
+                    N=self.N,
+                    step_size=self.step_size,
+                    mom_scale=self.mom_scale,
+                ),
+            )
+        if self.algo == "pmp_hmc":
+            return hmc.make_superstep(
+                target,
+                PMPHMCConfig(
+                    depth=self.depth,
+                    step_size=self.step_size,
+                    mom_scale=self.mom_scale,
+                    rule=self.rule,
+                    stabilizer=self.stabilizer,
+                    selection=self.selection
+                    if self.selection != "all_uniform"
+                    else "single",
+                ),
+            )
+        raise ValueError(f"unknown algo {self.algo!r}")
+
+
+@dataclasses.dataclass
+class RunSpec:
+    sampler: SamplerSpec = dataclasses.field(default_factory=SamplerSpec)
+    num_steps: int = 1000
+    seed: int = 0
+    out_dir: str = "results"
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+def load_spec(path: Optional[str] = None, overrides: Optional[dict] = None) -> RunSpec:
+    """Load a RunSpec from a YAML/JSON file with optional dot-key overrides
+    (e.g. ``{"sampler.N": 7, "num_steps": 500}``)."""
+    raw: Dict[str, Any] = {}
+    if path:
+        with open(path) as f:
+            text = f.read()
+        try:
+            raw = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+
+            raw = yaml.safe_load(text)
+    for k, v in (overrides or {}).items():
+        node = raw
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    samp = SamplerSpec(**raw.pop("sampler", {}))
+    known = {f.name for f in dataclasses.fields(RunSpec)} - {"sampler", "extra"}
+    kw = {k: raw.pop(k) for k in list(raw) if k in known}
+    return RunSpec(sampler=samp, extra=raw, **kw)

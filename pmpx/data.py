@@ -1,0 +1,91 @@
+"""Dataset loading with deterministic synthetic fallback.
+
+The reference downloads MNIST/CIFAR-10 via torchvision at import time
+(``PMP_FC.py:47-67``, ``cifar_PMPhmc.py:12-22``).  This environment (and
+many production ones) is egress-free, so loaders here look for data on disk
+(``$PMPX_DATA_DIR`` or ``./data``) in ``.npz`` form and otherwise generate
+a *deterministic, learnable* synthetic stand-in with identical shapes and
+normalization: class-conditional Gaussian blobs around per-class prototype
+images, so posterior sampling / accuracy curves remain meaningful.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["load_mnist", "load_cifar10"]
+
+
+def _data_dir() -> str:
+    return os.environ.get("PMPX_DATA_DIR", "./data")
+
+
+def _try_npz(name: str):
+    path = os.path.join(_data_dir(), name)
+    if os.path.exists(path):
+        z = np.load(path)
+        return (
+            jnp.asarray(z["x_train"]),
+            jnp.asarray(z["y_train"]),
+            jnp.asarray(z["x_test"]),
+            jnp.asarray(z["y_test"]),
+        )
+    return None
+
+
+def _synthetic_images(
+    key, shape: Tuple[int, ...], n_train: int, n_test: int, classes: int = 10
+):
+    """Class-prototype + noise images, standardized like the real datasets."""
+    k_proto, k_tr, k_te, k_ytr, k_yte = jax.random.split(key, 5)
+    protos = jax.random.normal(k_proto, (classes,) + shape) * 1.5
+    y_train = jax.random.randint(k_ytr, (n_train,), 0, classes)
+    y_test = jax.random.randint(k_yte, (n_test,), 0, classes)
+    x_train = protos[y_train] + jax.random.normal(
+        k_tr, (n_train,) + shape
+    )
+    x_test = protos[y_test] + jax.random.normal(k_te, (n_test,) + shape)
+    return x_train, y_train, x_test, y_test
+
+
+def load_mnist(n_train: int = 60000, n_test: int = 10000, seed: int = 0):
+    """(x_train, y_train, x_test, y_test); images (N, 28, 28) float32,
+    normalized; labels int32.  Reads ``mnist.npz`` from the data dir when
+    present, else synthesizes."""
+    found = _try_npz("mnist.npz")
+    if found is not None:
+        x_tr, y_tr, x_te, y_te = found
+        x_tr = (x_tr.astype(jnp.float32) / 255.0 - 0.1307) / 0.3081
+        x_te = (x_te.astype(jnp.float32) / 255.0 - 0.1307) / 0.3081
+        return (
+            x_tr[:n_train],
+            y_tr[:n_train].astype(jnp.int32),
+            x_te[:n_test],
+            y_te[:n_test].astype(jnp.int32),
+        )
+    return _synthetic_images(
+        jax.random.key(seed), (28, 28), n_train, n_test
+    )
+
+
+def load_cifar10(n_train: int = 50000, n_test: int = 10000, seed: int = 1):
+    """(x_train, y_train, x_test, y_test); images (N, 32, 32, 3) float32."""
+    found = _try_npz("cifar10.npz")
+    if found is not None:
+        x_tr, y_tr, x_te, y_te = found
+        x_tr = x_tr.astype(jnp.float32) / 255.0
+        x_te = x_te.astype(jnp.float32) / 255.0
+        return (
+            x_tr[:n_train],
+            y_tr[:n_train].astype(jnp.int32),
+            x_te[:n_test],
+            y_te[:n_test].astype(jnp.int32),
+        )
+    return _synthetic_images(
+        jax.random.key(seed), (32, 32, 3), n_train, n_test
+    )

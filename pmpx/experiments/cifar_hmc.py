@@ -1,0 +1,76 @@
+"""CIFAR-10 LeNet posterior via HMC-flavored samplers.
+
+Parity with ``complex_nets/Cifar-10/cifar_{SP,MP,PMP}hmc.py``: full-batch
+CE posterior over LeNet, momentum scale 0.0005, leapfrog step 0.1, N=7
+(PMP depth 3), loss/train-acc/test-acc traces saved per run.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpx.config import SamplerSpec
+from pmpx.data import load_cifar10
+from pmpx.experiments.mnist import pretrain
+from pmpx.metrics.recorder import save_trace
+from pmpx.models import LeNet
+from pmpx.samplers.base import run_chain
+from pmpx.targets.nn import NNPosterior
+
+
+def run(
+    algo: str = "pmp_hmc",  # sp_hmc | mp_hmc | pmp_hmc
+    N: int = 7,
+    step_size: float = 0.1,
+    mom_scale: float = 0.0005,
+    num_steps: int = 10,
+    n_train: int = 2048,
+    n_test: int = 512,
+    pretrain_steps: int = 30,
+    seed: int = 0,
+    out_dir: str = "results/cifar",
+    scale: str = "smoke",
+):
+    if scale == "paper":
+        n_train, n_test = 50000, 10000
+    x_tr, y_tr, x_te, y_te = load_cifar10(n_train=n_train, n_test=n_test)
+    target = NNPosterior(
+        LeNet(), x_tr, y_tr, init_key=jax.random.key(seed)
+    )
+    theta0 = pretrain(target, pretrain_steps)
+
+    spec = SamplerSpec(
+        algo=algo,
+        N=N,
+        depth=int(math.log2(N + 1)),
+        step_size=step_size,
+        mom_scale=mom_scale,
+        rule="mh_clamp" if algo == "pmp_hmc" else "barker",
+        accept_scale=1000.0 if algo == "sp_hmc" else 1.0,
+    )
+    superstep = spec.build(target)
+
+    def collect(theta, out):
+        loss = -target.log_prob(theta)
+        acc_tr = target.accuracy(theta, x_tr, y_tr)
+        acc_te = target.accuracy(theta, x_te, y_te)
+        return loss, acc_tr, acc_te
+
+    _, (losses, acc_tr, acc_te) = jax.jit(
+        lambda k, t: run_chain(superstep, k, t, num_steps, collect=collect)
+    )(jax.random.key(seed + 1), theta0)
+    arrays = {
+        "loss": np.asarray(losses),
+        "train_acc": np.asarray(acc_tr),
+        "test_acc": np.asarray(acc_te),
+    }
+    save_trace(out_dir, f"cifar_{algo}", arrays, {"N": N})
+    return {
+        "loss_first": float(arrays["loss"][0]),
+        "loss_last": float(arrays["loss"][-1]),
+        "test_acc_last": float(arrays["test_acc"][-1]),
+    }

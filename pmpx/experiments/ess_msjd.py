@@ -1,0 +1,81 @@
+"""ESS/s and MSJD/s vs. parallelism P.
+
+Parity with ``simple_net/MP_and_PMP_ESS_per_sec_and_MSJD_per_sec/``: the
+reference dumps million-step MP/PMP sample streams per P in
+{8..512} (``data_trans.py:8``) and computes ESS/MSJD offline with code not
+in the repo.  Here the whole pipeline is on-device: run, time, compute ESS
+(Geyer) and MSJD per second, emit the machine-readable table behind
+``ess_compare.pdf``/``msjd_compare.pdf``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmpx.config import SamplerSpec
+from pmpx.metrics import ess, msjd
+from pmpx.metrics.recorder import save_trace
+from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
+
+
+def run(
+    n_data: int = 10000,
+    Ps=(8, 32, 128, 512),
+    num_steps: int = 2000,
+    burn_in: int = 200,
+    algos=("mp", "pmp"),
+    seed: int = 0,
+    out_dir: str = "results/ess",
+    scale: str = "smoke",
+    method: str = "auto",
+):
+    if scale == "paper":
+        n_data, num_steps, burn_in = 100000, 1_000_000, 2000
+    x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
+    target = BayesLinReg(x, y, temper=1.0 / 2000.0, method=method)
+    theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    out = {}
+    rows = []
+    for algo in algos:
+        for P in Ps:
+            if algo == "pmp":
+                spec = SamplerSpec(
+                    algo="pmp", N=1, depth=int(np.log2(P)),
+                    step_size=0.02, selection="all_first",
+                )
+            else:
+                spec = SamplerSpec(
+                    algo="mp", N=P - 1, step_size=0.02,
+                    selection="all_first",
+                )
+            superstep = spec.build(target)
+
+            from pmpx.samplers.base import run_chain
+
+            f = jax.jit(
+                lambda k, t, s=superstep: run_chain(
+                    s, k, t, num_steps, collect=lambda th, o: th
+                )
+            )
+            f(jax.random.key(seed), theta0)[1].block_until_ready()
+            t0 = time.perf_counter()
+            _, roots = f(jax.random.key(seed), theta0)
+            roots.block_until_ready()
+            dt = time.perf_counter() - t0
+            r = np.asarray(roots)[burn_in:]
+            e = float(ess(jnp.asarray(r[:, 0])))
+            m = float(msjd(jnp.asarray(r)))
+            rows.append((algo, P, e / dt, m / dt * len(r), dt))
+            out[f"{algo}_P{P}_ess_per_s"] = e / dt
+            out[f"{algo}_P{P}_msjd_per_s"] = m / dt * len(r)
+    save_trace(
+        out_dir,
+        "ess_msjd",
+        {"rows": np.asarray([(r[2], r[3], r[4]) for r in rows])},
+        {"rows": [f"{r[0]}_P{r[1]}" for r in rows]},
+    )
+    return out

@@ -1,0 +1,117 @@
+"""MNIST posterior sampling: {FC, CNN, LSTM} x {MH, MP, PMP}.
+
+Parity with ``complex_nets/Mnist/{FC,CNN,LSTM}/{MH,MP,PMP}_*.py``: full-batch
+cross-entropy posterior, random-walk proposals with alpha=1e-4, z-score
+weight standardization, single-draw selection, loss/accuracy trace dumps
+with the reference naming convention.  The reference warm-starts from
+SGD-pretrained ``.pkl`` checkpoints; ``pretrain_steps`` of Adam provides the
+equivalent warm start here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pmpx.config import SamplerSpec
+from pmpx.data import load_mnist
+from pmpx.metrics.recorder import reference_style_name, save_trace
+from pmpx.models import MnistCNN, MnistLSTM, MnistMLP
+from pmpx.samplers.base import run_chain
+from pmpx.targets.nn import NNPosterior
+
+MODELS = {
+    "FC": lambda: MnistMLP(),
+    "CNN": lambda: MnistCNN(),
+    "LSTM": lambda: MnistLSTM(),
+}
+
+
+def pretrain(target: NNPosterior, steps: int, lr: float = 1e-3):
+    """Adam warm start (stand-in for the reference's pretrained .pkl)."""
+    if steps <= 0:
+        return target.init_theta()
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(theta, state):
+        loss, g = jax.value_and_grad(lambda t: -target.log_prob(t))(theta)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(theta, upd), state
+
+    theta = target.init_theta()
+    state = opt.init(theta)
+    for _ in range(steps):
+        theta, state = step(theta, state)
+    return theta
+
+
+def run(
+    model: str = "FC",
+    algo: str = "pmp",
+    alpha: float = 1e-4,
+    N: int = 7,
+    num_steps: int = 300,
+    n_train: int = 4096,
+    n_test: int = 1024,
+    pretrain_steps: int = 50,
+    temper: float = 10.0,
+    seed: int = 0,
+    out_dir: str = "results/mnist",
+    scale: str = "smoke",
+):
+    if scale == "paper":
+        n_train, n_test, num_steps = 60000, 10000, 500000
+    x_tr, y_tr, x_te, y_te = load_mnist(n_train=n_train, n_test=n_test)
+    target = NNPosterior(
+        MODELS[model](), x_tr, y_tr, temper=temper,
+        init_key=jax.random.key(seed),
+    )
+    theta0 = pretrain(target, pretrain_steps)
+
+    import math
+
+    if algo == "mh":
+        spec = SamplerSpec(algo="mh", step_size=alpha)
+    elif algo == "mp":
+        spec = SamplerSpec(
+            algo="mp", N=N, step_size=alpha, selection="single",
+            stabilizer="zscore",
+        )
+    else:
+        spec = SamplerSpec(
+            algo="pmp", N=1, depth=int(math.log2(N + 1)),
+            step_size=alpha, selection="single", stabilizer="zscore",
+        )
+    superstep = spec.build(target)
+
+    def collect(theta, out):
+        return -target.log_prob(theta) / target.temper  # CE loss
+
+    _, losses = jax.jit(
+        lambda k, t: run_chain(superstep, k, t, num_steps, collect=collect)
+    )(jax.random.key(seed + 1), theta0)
+    losses = np.asarray(losses)
+
+    # final state accuracy (re-run last step to get theta; cheaper: rerun
+    # collect with theta) — run once more collecting theta
+    thetaF, _ = jax.jit(
+        lambda k, t: run_chain(
+            superstep, k, t, num_steps, collect=lambda th, o: 0.0
+        )
+    )(jax.random.key(seed + 1), theta0)
+    acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
+    acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))
+
+    name = reference_style_name(
+        algo.upper(), alpha, num_steps, model=model, N=N
+    )
+    save_trace(out_dir, name, {"loss": losses}, {"model": model})
+    return {
+        "loss_first": float(losses[0]),
+        "loss_last": float(losses[-1]),
+        "train_acc": acc_tr,
+        "test_acc": acc_te,
+    }

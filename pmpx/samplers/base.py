@@ -41,13 +41,22 @@ class Target(Protocol):
     def log_prob(self, theta: jnp.ndarray) -> jnp.ndarray: ...
 
 
-def batch_log_prob(target: Target, Theta: jnp.ndarray) -> jnp.ndarray:
+def batch_log_prob(
+    target: Target, Theta: jnp.ndarray, key: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Evaluate log-density of all rows of ``Theta`` (P, d) -> (P,).
 
     This is the reference's "can be parallelized" step (``error.py:156-158``;
     CUDA thread-per-node ``conv_mp.cu:10-36``) realized as one batched call.
+    Stochastic targets (``needs_rng = True``, e.g. mean-field BNNs whose
+    forward samples weights) receive ``key``.
     """
     fused = getattr(target, "log_prob_batch", None)
+    if getattr(target, "needs_rng", False):
+        if fused is not None:
+            return fused(Theta, key=key)
+        keys = jax.random.split(key, Theta.shape[0])
+        return jax.vmap(target.log_prob)(Theta, keys)
     if fused is not None:
         return fused(Theta)
     return jax.vmap(target.log_prob)(Theta)

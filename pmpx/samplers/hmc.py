@@ -50,22 +50,38 @@ __all__ = ["HMCConfig", "MPHMCConfig", "PMPHMCConfig", "make_superstep"]
 
 
 def _value_and_grad_batch(target: Target) -> Callable:
+    """Uniform internal signature: vg(Theta, key) -> (values, grads).
+
+    ``key`` is threaded only to stochastic targets (``needs_rng``); for
+    deterministic targets it is ignored."""
     fused = getattr(target, "value_and_grad_batch", None)
+    needs = getattr(target, "needs_rng", False)
     if fused is not None:
-        return fused
-    return jax.vmap(jax.value_and_grad(target.log_prob))
+        if needs:
+            return lambda Theta, key: fused(Theta, key=key)
+        return lambda Theta, key: fused(Theta)
+    if needs:
+        g = jax.vmap(jax.value_and_grad(target.log_prob))
+        return lambda Theta, key: g(
+            Theta, jax.random.split(key, Theta.shape[0])
+        )
+    g = jax.vmap(jax.value_and_grad(target.log_prob))
+    return lambda Theta, key: g(Theta)
 
 
-def _leapfrog(vg, theta, p, step_size):
+def _leapfrog(vg, theta, p, step_size, key=None):
     """One leapfrog step for a batch: (B, d) positions/momenta.
 
     Returns (theta', p', logpi(theta'), grad(theta')).  Uses the gradient at
     theta (recomputed — one extra vg call per level keeps the code shape
     simple; the second vg at theta' is reused as the next level's base)."""
-    _, g0 = vg(theta)
+    if key is None:
+        key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    _, g0 = vg(theta, k1)
     p_half = p + 0.5 * step_size * g0
     theta2 = theta + step_size * p_half
-    lp2, g2 = vg(theta2)
+    lp2, g2 = vg(theta2, k2)
     p2 = p_half + 0.5 * step_size * g2
     return theta2, p2, lp2, g2
 
@@ -87,14 +103,17 @@ def _make_sp_hmc(target: Target, cfg: HMCConfig):
     vg = _value_and_grad_batch(target)
 
     def superstep(key, theta):
-        k_p, k_acc = jax.random.split(key)
+        k_p, k_acc, k_t = jax.random.split(key, 3)
         p0 = cfg.mom_scale * jax.random.normal(
             k_p, theta.shape, theta.dtype
         )
-        lp0, _ = vg(theta[None, :])
+        lp0, _ = vg(theta[None, :], k_t)
         th, p = theta[None, :], p0[None, :]
-        for _ in range(cfg.num_leapfrog):
-            th, p, lp1, _ = _leapfrog(vg, th, p, cfg.step_size)
+        lf_keys = jax.random.split(k_t, cfg.num_leapfrog)
+        for i in range(cfg.num_leapfrog):
+            th, p, lp1, _ = _leapfrog(
+                vg, th, p, cfg.step_size, lf_keys[i]
+            )
         h0 = lp0[0] - 0.5 * jnp.sum(p0 * p0)
         h1 = lp1[0] - 0.5 * jnp.sum(p[0] * p[0])
         log_acc = jnp.minimum(0.0, (h1 - h0) * cfg.accept_scale)
@@ -128,26 +147,29 @@ def _make_mp_hmc(target: Target, cfg: MPHMCConfig):
     N = cfg.N
 
     def superstep(key, theta):
-        k_p, k_rev, k_draw = jax.random.split(key, 3)
+        k_p, k_rev, k_draw, k_t = jax.random.split(key, 4)
         p0 = cfg.mom_scale * jax.random.normal(
             k_p, theta.shape, theta.dtype
         )
         # reversal point: steps with index >= ranint flip sign
         # (cifar_MPhmc.py:103-108; ranint = int(uniform(1, N+1)))
         ranint = jax.random.randint(k_rev, (), 1, N + 1)
-        lp0, _ = vg(theta[None, :])
+        lp0, _ = vg(theta[None, :], k_t)
 
-        def body(carry, i):
+        def body(carry, inp):
             th, p = carry
+            i, ki = inp
             sign = jnp.where(i >= ranint, -1.0, 1.0).astype(th.dtype)
-            th2, p2, lp2, _ = _leapfrog(vg, th, p, sign * cfg.step_size)
+            th2, p2, lp2, _ = _leapfrog(
+                vg, th, p, sign * cfg.step_size, ki
+            )
             ke = 0.5 * jnp.sum(p2 * p2, axis=-1)
             return (th2, p2), (th2[0], lp2[0], ke[0])
 
         (_, _), (traj, lps, kes) = jax.lax.scan(
             body,
             (theta[None, :], p0[None, :]),
-            jnp.arange(N),
+            (jnp.arange(N), jax.random.split(k_t, N)),
         )
         # states 0..N: index 0 = current
         Y = jnp.concatenate([theta[None, :], traj], axis=0)
@@ -214,8 +236,9 @@ def _make_pmp_hmc(target: Target, cfg: PMPHMCConfig):
     partner_j = jnp.asarray(partner)
 
     def superstep(key, theta):
-        k_mom, k_draw, k_root = jax.random.split(key, 3)
-        lp_root, g_root = vg(theta[None, :])
+        k_mom, k_draw, k_root, k_t = jax.random.split(key, 4)
+        t_keys = jax.random.split(k_t, D + 1)
+        lp_root, g_root = vg(theta[None, :], t_keys[D])
 
         Y = jnp.zeros((P, d), theta.dtype).at[0].set(theta)
         logpi = jnp.zeros((P,), theta.dtype).at[0].set(lp_root[0])
@@ -233,7 +256,7 @@ def _make_pmp_hmc(target: Target, cfg: PMPHMCConfig):
             # leapfrog using the cached parent gradient
             p_half = p0 + 0.5 * cfg.step_size * G[:m]
             child = parents + cfg.step_size * p_half
-            lp_c, g_c = vg(child)
+            lp_c, g_c = vg(child, t_keys[i])
             p_fin = p_half + 0.5 * cfg.step_size * g_c
 
             sl = slice(m, 2 * m)

@@ -164,10 +164,10 @@ def make_superstep(target: Target, cfg: PMPConfig):
     P, d = topo.P, target.d
 
     def superstep(key: jnp.ndarray, theta: jnp.ndarray):
-        k_eps, k_draw, k_root = jax.random.split(key, 3)
+        k_eps, k_draw, k_root, k_target = jax.random.split(key, 4)
         eps = cfg.step_size * jax.random.normal(k_eps, (P, d), theta.dtype)
         Y = tree_positions(theta, eps, topo)
-        logpi = batch_log_prob(target, Y)
+        logpi = batch_log_prob(target, Y, key=k_target)
         logA = log_accept_tree(Y, logpi, topo, trans)
         logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
 

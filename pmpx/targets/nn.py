@@ -1,0 +1,136 @@
+"""Neural-network posteriors as flattened-parameter targets.
+
+The reference treats an NN posterior as "a network whose loss defines a
+density": proposals are whole deep-copied ``nn.Module``s mutated in place
+(``PMP_FC.py:96-102``), evaluated serially per proposal
+(``PMP_FC.py:117-118``), with weights ``exp(-loss)``.  Here the chain state
+is the raveled parameter vector theta in R^d; the proposal axis is a leading
+batch axis and all P speculative networks evaluate in ONE vmapped full-batch
+forward — the parallelism the reference's comments promise ("可并行/can be
+parallelized") but its torch path never achieves.
+
+Supports:
+* deterministic models (MLP/CNN/LSTM/LeNet; LeNet's BatchNorm runs in
+  batch-statistics mode, its stats treated as ephemeral);
+* stochastic models (BayesMLP): every density evaluation draws fresh weights
+  through a ``"sample"`` RNG stream, matching torchbnn's sampling forward
+  (``Bayesian Network Training/main.py``); such targets advertise
+  ``needs_rng = True`` and receive a PRNG key from the sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+from pmpx.samplers.base import Target  # noqa: F401  (protocol reference)
+
+__all__ = ["NNPosterior"]
+
+
+class NNPosterior:
+    """log pi(theta) = -temper * CrossEntropy(model(X; theta), Y).
+
+    ``temper`` captures the reference's loss scalings: 0.1 (``PMP_FC.py:44``
+    loss/10), 1e4 (``MH_FC.py`` lambda), 1.0 (HMC scripts).
+    """
+
+    def __init__(
+        self,
+        model,
+        X: jnp.ndarray,
+        Y: jnp.ndarray,
+        temper: float = 1.0,
+        init_key: Optional[jnp.ndarray] = None,
+        stochastic: bool = False,
+    ):
+        self.model = model
+        self.X = X
+        self.Y = Y
+        self.temper = float(temper)
+        self.stochastic = bool(stochastic)
+        self.needs_rng = self.stochastic
+        init_key = (
+            init_key if init_key is not None else jax.random.key(0)
+        )
+        k_params, k_sample = jax.random.split(init_key)
+        rngs = {"params": k_params}
+        if stochastic:
+            rngs["sample"] = k_sample
+        # jit the init: eager flax init dispatches dozens of small ops,
+        # which is pathologically slow over remote-device transports
+        variables = jax.jit(model.init)(rngs, X[:2])
+        params = variables["params"]
+        self._aux = {
+            k: v for k, v in variables.items() if k != "params"
+        }
+        flat, unravel = ravel_pytree(params)
+        self.d = int(flat.size)
+        self._theta0 = flat
+        self._unravel = unravel
+
+    # ------------------------------------------------------------------
+    def init_theta(self) -> jnp.ndarray:
+        """Raveled freshly-initialized parameters (the reference warm-starts
+        from pretrained ``.pkl`` checkpoints; see ``theta_from_params``)."""
+        return self._theta0
+
+    def theta_from_params(self, params) -> jnp.ndarray:
+        """Ravel an externally-trained parameter pytree (warm start)."""
+        flat, _ = ravel_pytree(params)
+        return flat
+
+    # ------------------------------------------------------------------
+    def _logits(self, theta, X, key=None):
+        variables = {"params": self._unravel(theta), **self._aux}
+        kwargs = {}
+        if self.stochastic:
+            kwargs["rngs"] = {"sample": key}
+        if self._aux:
+            out, _ = self.model.apply(
+                variables, X, mutable=list(self._aux.keys()), **kwargs
+            )
+            return out
+        return self.model.apply(variables, X, **kwargs)
+
+    def _neg_loss(self, theta, key=None):
+        logits = self._logits(theta, self.X, key)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, self.Y
+        ).mean()
+        return -self.temper * loss
+
+    # -- Target protocol ------------------------------------------------
+    def log_prob(self, theta, key=None):
+        return self._neg_loss(theta, key)
+
+    def log_prob_batch(self, Theta, key=None):
+        if self.stochastic:
+            keys = jax.random.split(key, Theta.shape[0])
+            return jax.vmap(self._neg_loss)(Theta, keys)
+        return jax.vmap(lambda t: self._neg_loss(t))(Theta)
+
+    def value_and_grad_batch(self, Theta, key=None):
+        if self.stochastic:
+            keys = jax.random.split(key, Theta.shape[0])
+            return jax.vmap(
+                jax.value_and_grad(self._neg_loss), in_axes=(0, 0)
+            )(Theta, keys)
+        return jax.vmap(
+            jax.value_and_grad(lambda t: self._neg_loss(t))
+        )(Theta)
+
+    # ------------------------------------------------------------------
+    def accuracy(self, theta, X=None, Y=None, key=None):
+        """Classification accuracy (the reference logs train/test correct
+        ratios every 1k/10k steps, ``PMP_FC.py:147-156``)."""
+        X = self.X if X is None else X
+        Y = self.Y if Y is None else Y
+        logits = self._logits(theta, X, key)
+        return jnp.mean((jnp.argmax(logits, axis=-1) == Y).astype(
+            jnp.float32
+        ))

@@ -1,0 +1,171 @@
+"""Experiments run end-to-end at smoke scale; CLI parses and dispatches;
+checkpoint resume is bitwise exact."""
+
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmpx import PMPConfig
+from pmpx.checkpoint import load_checkpoint, resume_chain, save_checkpoint
+from pmpx.samplers import pmp
+from pmpx.targets import Gaussian1D
+
+
+def test_error_boxplot_smoke(tmp_path):
+    from pmpx.experiments import error_boxplot
+
+    out = error_boxplot.run(
+        times=3, number_sample=60, out_dir=str(tmp_path)
+    )
+    assert set(out) == {
+        "SP_abs_mean_err", "MP_abs_mean_err", "PMP_abs_mean_err"
+    }
+    assert all(np.isfinite(v) for v in out.values())
+
+
+def test_banana_smoke(tmp_path):
+    from pmpx.experiments import banana
+
+    out = banana.run(num_steps=400, out_dir=str(tmp_path))
+    assert abs(out["PMP_x2_mean"] + 8) < 4.0
+
+
+def test_lb_grid_smoke(tmp_path):
+    from pmpx.experiments import lb_grid
+
+    out = lb_grid.run(
+        n_data=2000, num_steps=300, steps=(0.1,),
+        out_dir=str(tmp_path), method="xla",
+    )
+    assert abs(out["PMP_a0.1_beta0"] + 1.0) < 0.3
+
+
+def test_convergence_smoke(tmp_path):
+    from pmpx.experiments import convergence
+
+    # reference tempering 1/2000 suits n=100k; scale it for smoke n
+    out = convergence.run(
+        n_data=4096, num_steps=300, temper=50.0 / 4096,
+        out_dir=str(tmp_path), method="xla", algos=("MP", "PMP"),
+    )
+    assert out["PMP_us_per_iter"] > 0
+    assert abs(out["PMP_beta0"] + 1.0) < 0.3
+
+
+def test_correlation_smoke(tmp_path):
+    from pmpx.experiments import correlation
+
+    out = correlation.run(
+        dims=(4, 8), Ns=(1, 3), nums=(20, 50), hops=60,
+        out_dir=str(tmp_path),
+    )
+    assert "csv" in out
+    import csv
+
+    with open(out["csv"]) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 1 + 2 * 2 * 2
+
+
+def test_ess_msjd_smoke(tmp_path):
+    from pmpx.experiments import ess_msjd
+
+    out = ess_msjd.run(
+        n_data=1024, Ps=(8,), num_steps=300, burn_in=50,
+        algos=("pmp",), out_dir=str(tmp_path), method="xla",
+    )
+    assert out["pmp_P8_ess_per_s"] > 0
+
+
+def test_mnist_experiment_smoke(tmp_path):
+    from pmpx.experiments import mnist
+
+    out = mnist.run(
+        model="FC", algo="pmp", num_steps=40, n_train=256,
+        n_test=64, pretrain_steps=5, out_dir=str(tmp_path),
+    )
+    assert np.isfinite(out["loss_last"])
+    assert 0.0 <= out["test_acc"] <= 1.0
+
+
+def test_bnn_experiment_smoke(tmp_path):
+    from pmpx.experiments import bnn
+
+    out = bnn.run(
+        n=1, hidden=16, num_steps=5, n_train=128, n_test=32,
+        out_dir=str(tmp_path),
+    )
+    assert out["N"] == 1
+    assert np.isfinite(out["loss_last"])
+
+
+def test_cifar_hmc_smoke(tmp_path):
+    from pmpx.experiments import cifar_hmc
+
+    out = cifar_hmc.run(
+        algo="pmp_hmc", N=3, num_steps=3, n_train=64, n_test=16,
+        pretrain_steps=2, out_dir=str(tmp_path),
+    )
+    assert np.isfinite(out["loss_last"])
+
+
+def test_cli_list_and_run(tmp_path):
+    env_script = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "import sys; from pmpx.cli import main;"
+        "sys.exit(main(sys.argv[1:]))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", env_script, "list"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and "error_boxplot" in r.stdout
+    r = subprocess.run(
+        [
+            sys.executable, "-c", env_script,
+            "run", "error_boxplot",
+            "--times", "2", "--number-sample", "40",
+            "--out-dir", str(tmp_path),
+        ],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert "PMP_abs_mean_err" in out
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    target = Gaussian1D()
+    cfg = PMPConfig(N=3, depth=2, step_size=0.5)
+    superstep = pmp.make_superstep(target, cfg)
+    theta0 = jnp.zeros((1,), jnp.float32)
+    base_key = jax.random.key(42)
+    collect = lambda th, o: th
+
+    # uninterrupted folded run
+    p1 = str(tmp_path / "a.npz")
+    save_checkpoint(p1, theta0, base_key, 0)
+    thA, recsA = resume_chain(superstep, p1, 50, collect=collect)
+
+    # interrupted at 20, then resumed
+    p2 = str(tmp_path / "b.npz")
+    save_checkpoint(p2, theta0, base_key, 0)
+    _, _ = resume_chain(
+        superstep, p2, 20, collect=collect, checkpoint_every=10
+    )
+    thB, recsB = resume_chain(superstep, p2, 50, collect=collect)
+
+    np.testing.assert_array_equal(np.asarray(thA), np.asarray(thB))
+    full_A = np.concatenate([np.asarray(r) for r in recsA])
+    # recsB only contains steps 20..50; compare the tail
+    tail_B = np.concatenate([np.asarray(r) for r in recsB])
+    np.testing.assert_array_equal(full_A[20:], tail_B)
+    # checkpoint file roundtrip
+    th, key, step, _ = load_checkpoint(p2)
+    assert step == 50

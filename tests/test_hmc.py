@@ -25,10 +25,10 @@ def _samples(target, cfg, steps, seed, burn=0.3):
 def test_leapfrog_energy_conservation():
     """Small-step leapfrog on an isotropic Gaussian conserves H to O(eps^2)."""
     target = StandardMVN(d=4)
-    vg = jax.vmap(jax.value_and_grad(target.log_prob))
+    vg = hmc._value_and_grad_batch(target)
     theta = jnp.array([[1.0, -0.5, 0.3, 2.0]])
     p = jnp.array([[0.4, 0.1, -0.7, 0.2]])
-    lp0, _ = vg(theta)
+    lp0, _ = vg(theta, None)
     h0 = lp0[0] - 0.5 * jnp.sum(p * p)
     th, pp = theta, p
     for _ in range(100):
@@ -39,7 +39,7 @@ def test_leapfrog_energy_conservation():
 
 def test_leapfrog_reversibility():
     target = StandardMVN(d=3)
-    vg = jax.vmap(jax.value_and_grad(target.log_prob))
+    vg = hmc._value_and_grad_batch(target)
     theta = jnp.array([[0.5, -1.0, 0.2]])
     p = jnp.array([[0.3, 0.6, -0.1]])
     th, pp, _, _ = hmc._leapfrog(vg, theta, p, 0.1)
