@@ -30,7 +30,9 @@ BASELINE_US = 42096.793 + 2041.279
 
 N_DATA = 100_000
 DEPTH = 10  # binary tree -> P = 2**10 = 1024 speculative states
-ITERS = 200
+# long scans amortize the host->device dispatch quantum (~40 ms on the
+# axon transport) to noise; the loop itself never touches the host
+ITERS = 2000
 REPEATS = 3
 
 

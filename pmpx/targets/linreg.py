@@ -48,7 +48,7 @@ def make_synthetic_linreg(
     return x, y
 
 
-def pad_to_grid(x: jnp.ndarray, row_mult: int = 256):
+def pad_to_grid(x: jnp.ndarray, row_mult: int = 128):
     """Pad a 1-D array with zeros to a (rows, 128) lane-major grid."""
     n = x.shape[0]
     per_blk = row_mult * _LANES

@@ -78,10 +78,15 @@ class TreeTopology:
         ``gather[i, x] = residue[i, x]*(N+1) + digits[i, x]``.
     path_matrix : (P, P) float32 — ``path_matrix[x, a] = 1`` iff node ``a``'s
         creation edge lies on the root→x path (i.e. ``a`` is ``x`` or one of
-        its non-root ancestors).  Tree positions are then the single matmul
-        ``Y = theta + path_matrix @ eps`` with per-node innovations ``eps``
-        (``eps[0]`` is ignored: column 0 is zero).  This replaces the
-        reference's sequential host loop with one MXU contraction.
+        its non-root ancestors).  ``Y = theta + path_matrix @ eps`` is the
+        oracle formulation (used in tests); the runtime uses the equivalent
+        ancestor gather-sum (see ``anc_index``/``anc_mask``), which is far
+        cheaper than a (P, P) contraction for small d.
+    anc_index : (depth, P) int32 — ``anc_index[i, x] = x mod (N+1)**(i+1)``,
+        the node's ancestor (or itself) whose creation edge sits at level i.
+    anc_mask : (depth, P) float32 — 1.0 where ``digits[i, x] != 0`` (the
+        level-i edge actually exists on the root→x path), else 0.0, so that
+        ``Y[x] = theta + sum_i anc_mask[i, x] * eps[anc_index[i, x]]``.
     new_nodes : tuple of 1-D int32 arrays, one per level — the node indices
         created at that level (``level_of == i``), in reference creation
         order ``k + temp*(j+1)``, ``j`` outer, ``k`` inner
@@ -98,6 +103,8 @@ class TreeTopology:
     group_members: tuple
     gather: np.ndarray
     path_matrix: np.ndarray
+    anc_index: np.ndarray
+    anc_mask: np.ndarray
     new_nodes: tuple
 
     @property
@@ -147,10 +154,14 @@ def topology(N: int, depth: int) -> TreeTopology:
 
     # path_matrix[x, a] = 1 iff a in {x mod base**(i+1)} with digit c_i != 0
     pm = np.zeros((P, P), dtype=np.float32)
+    anc_index = np.empty((depth, P), dtype=np.int32)
+    anc_mask = np.empty((depth, P), dtype=np.float32)
     for i in range(depth):
         anc = (x % (base ** (i + 1))).astype(np.int64)
         mask = digits[i] != 0
         pm[x[mask], anc[mask]] = 1.0
+        anc_index[i] = anc.astype(np.int32)
+        anc_mask[i] = mask.astype(np.float32)
 
     new_nodes = []
     for i in range(depth):
@@ -172,5 +183,7 @@ def topology(N: int, depth: int) -> TreeTopology:
         group_members=tuple(m for m in group_members),
         gather=gather.astype(np.int32),
         path_matrix=pm,
+        anc_index=anc_index,
+        anc_mask=anc_mask,
         new_nodes=tuple(new_nodes),
     )
