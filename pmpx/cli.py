@@ -44,7 +44,53 @@ def main(argv=None):
     sub.add_parser("list", help="list experiments")
     runp = sub.add_parser("run", help="run an experiment")
     runp.add_argument("experiment", choices=EXPERIMENTS)
+    convp = sub.add_parser(
+        "convert", help="convert a pmpx binary trace to .npy "
+        "(the reference's data_trans.py txt->npy step)"
+    )
+    convp.add_argument("trace", help="path to a TraceWriter file")
+    convp.add_argument("--out", default=None, help="output .npy path")
+    plotp = sub.add_parser(
+        "plot", help="twin-axis loss/accuracy plot from a saved trace "
+        "(the reference's look_data.py)"
+    )
+    plotp.add_argument("npz", help="recorder .npz with loss/acc arrays")
+    plotp.add_argument("--out", default=None, help="output .pdf path")
     args, extra = parser.parse_known_args(argv)
+
+    if args.cmd == "convert":
+        from pmpx.runtime import read_trace
+        import numpy as np
+
+        arr = read_trace(args.trace)
+        out = args.out or (args.trace.rsplit(".", 1)[0] + ".npy")
+        np.save(out, arr)
+        print(json.dumps({"out": out, "shape": list(arr.shape)}))
+        return 0
+
+    if args.cmd == "plot":
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        z = np.load(args.npz)
+        fig, ax1 = plt.subplots()
+        if "loss" in z:
+            ax1.plot(z["loss"], color="tab:red", label="loss")
+            ax1.set_ylabel("loss", color="tab:red")
+        ax2 = ax1.twinx()
+        for k, c in (("train_acc", "tab:blue"), ("test_acc", "tab:green")):
+            if k in z:
+                ax2.plot(z[k], color=c, label=k)
+        ax2.set_ylabel("accuracy")
+        ax1.set_xlabel("iteration")
+        fig.legend()
+        out = args.out or (args.npz.rsplit(".", 1)[0] + ".pdf")
+        fig.savefig(out)
+        print(json.dumps({"out": out}))
+        return 0
 
     if args.cmd == "list":
         for e in EXPERIMENTS:

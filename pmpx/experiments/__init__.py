@@ -9,6 +9,7 @@
 | cores_sweep     | convergence vs parallelism P with wall-clock cap, ``MP_and_PMP_Convergence_with_Cores`` |
 | ess_msjd        | ESS/s + MSJD/s vs P from long runs, ``MP_and_PMP_ESS_per_sec_and_MSJD_per_sec`` |
 | time_analysis   | per-iteration time grid {500,100k} x {4,1024}, ``MP_and_PMP_time_analysis`` |
+| skewness        | skewness of chain means vs iterations, ``simple_net/skewness/skewness.ipynb`` |
 | correlation     | (d, D, C) sweep csv, ``complex_nets/correlation/com_dim.py`` |
 | mnist           | FC/CNN/LSTM x MH/MP/PMP posterior sampling, ``complex_nets/Mnist`` |
 | cifar_hmc       | SP/MP/PMP-HMC on LeNet, ``complex_nets/Cifar-10`` |
@@ -27,6 +28,7 @@ EXPERIMENTS = [
     "cores_sweep",
     "ess_msjd",
     "time_analysis",
+    "skewness",
     "correlation",
     "mnist",
     "cifar_hmc",

@@ -82,6 +82,18 @@ def test_ess_msjd_smoke(tmp_path):
     assert out["pmp_P8_ess_per_s"] > 0
 
 
+def test_skewness_smoke(tmp_path):
+    from pmpx.experiments import skewness as skew_exp
+
+    out = skew_exp.run(
+        n_data=1024, n_chains=16, num_steps=80,
+        checkpoints=(20, 80), out_dir=str(tmp_path), method="xla",
+    )
+    assert np.isfinite(out["skewness_at_80"])
+    # longer chains should not be more skewed than the shortest prefix
+    assert abs(out["skewness_at_80"]) <= abs(out["skewness_at_20"]) + 0.5
+
+
 def test_mnist_experiment_smoke(tmp_path):
     from pmpx.experiments import mnist
 

@@ -75,6 +75,48 @@ def test_data_sharded_loglik_matches_global():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-3)
 
 
+def test_tree_sharded_matches_unsharded():
+    """Tree-axis sharded superstep == unsharded superstep, same keys."""
+    from jax import shard_map
+
+    from pmpx.parallel import AXIS_TREE, make_tree_sharded_superstep
+
+    x, y = make_synthetic_linreg(jax.random.key(5), 2048)
+    target = BayesLinReg(x, y, temper=50.0 / 2048, method="xla")
+    cfg = PMPConfig(N=1, depth=4, step_size=0.05, selection="all_first")
+
+    sup_plain = pmp.make_superstep(target, cfg)
+    sup_tree = make_tree_sharded_superstep(target, cfg)
+    mesh = make_mesh(chains=1, data=1, tree=4)
+
+    key = jax.random.key(6)
+    theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+    @jax.jit
+    def sharded(key, theta):
+        def body(k, t):
+            th2, out = sup_tree(k, t)
+            return th2, out["log_accept"]
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(key, theta)
+
+    th_s, logA_s = sharded(key, theta0)
+    th_p, out_p = jax.jit(sup_plain)(key, theta0)
+    np.testing.assert_allclose(
+        np.asarray(logA_s), np.asarray(out_p["log_accept"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(th_s), np.asarray(th_p), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_data_sharded_chain_recovers_parameters():
     """Full pipeline: 2 chains x 4 data shards, posterior hits truth."""
     x, y = make_synthetic_linreg(jax.random.key(3), 4096)
