@@ -1,3 +1,8 @@
+from pmpx.metrics.analysis import (
+    first_crossing,
+    iteration_speedup,
+    smooth_loss,
+)
 from pmpx.metrics.ess import autocov, ess, ess_per_dim, split_rhat
 from pmpx.metrics.mixing import move_rate, msjd, skewness
 from pmpx.metrics.recorder import (
@@ -7,6 +12,9 @@ from pmpx.metrics.recorder import (
 )
 
 __all__ = [
+    "first_crossing",
+    "iteration_speedup",
+    "smooth_loss",
     "autocov",
     "ess",
     "ess_per_dim",

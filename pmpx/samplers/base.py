@@ -90,6 +90,8 @@ def run_chain(
     num_steps: int,
     collect: Optional[Callable[[Any, Any], Any]] = None,
     unroll: int = 1,
+    log_every: Optional[int] = None,
+    log_fn: Optional[Callable[[int, Any, Any], None]] = None,
 ):
     """Run ``num_steps`` supersteps under one ``lax.scan``.
 
@@ -97,13 +99,33 @@ def run_chain(
     chooses what to record per step (defaults to ``out``) — use it to thin
     large traces before they ever touch HBM layout for the scan stack.
 
+    ``log_every``/``log_fn`` provide opt-in periodic host observability
+    (the reference prints loss every 1k/10k steps, ``PMP_FC.py:147-155``):
+    ``log_fn(step, state', out)`` runs host-side via ``jax.debug.callback``
+    — useful for long runs, off by default since each callback syncs.
+
     Returns ``(final_state, stacked_records)``.
     """
     keys = jax.random.split(key, num_steps)
 
-    def body(state, k):
+    def body(state, inp):
+        k, i = inp
         state2, out = superstep(k, state)
+        if log_every:
+            fn = log_fn or (
+                lambda step, st, o: print(f"[pmpx] step {step}")
+            )
+
+            def maybe_log(step, st, o):
+                jax.lax.cond(
+                    step % log_every == 0,
+                    lambda: jax.debug.callback(fn, step, st, o),
+                    lambda: None,
+                )
+
+            maybe_log(i, state2, out)
         rec = collect(state2, out) if collect is not None else out
         return state2, rec
 
-    return jax.lax.scan(body, state0, keys, unroll=unroll)
+    xs = (keys, jnp.arange(num_steps))
+    return jax.lax.scan(body, state0, xs, unroll=unroll)
