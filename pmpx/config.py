@@ -32,6 +32,7 @@ class SamplerSpec:
     selection: str = "all_uniform"
     stabilizer: str = "none"
     rule: str = "barker"  # HMC acceptance rule / MH rule
+    proposal: str = "normal"  # MH only: "uniform" for error.py:27 parity
     mom_scale: float = 1.0
     num_leapfrog: int = 1
     accept_scale: float = 1.0
@@ -47,7 +48,12 @@ class SamplerSpec:
         if self.algo == "mh":
             rule = self.rule if self.rule in ("metropolis", "barker") else "metropolis"
             return mh.make_superstep(
-                target, MHConfig(step_size=self.step_size, rule=rule)
+                target,
+                MHConfig(
+                    step_size=self.step_size,
+                    rule=rule,
+                    proposal=self.proposal,
+                ),
             )
         if self.algo == "mp":
             return mp.make_superstep(

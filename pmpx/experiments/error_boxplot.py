@@ -33,7 +33,11 @@ def run(
         times, number_sample = 20, 1000
     target = Gaussian1D(mu=0.0, sigma=1.0)
     specs = {
-        "SP": SamplerSpec(algo="mh", step_size=0.25, rule="barker"),
+        # SP parity: uniform(-0.25, 0.25) proposal + Barker accept
+        # (error.py:27-31)
+        "SP": SamplerSpec(
+            algo="mh", step_size=0.25, rule="barker", proposal="uniform"
+        ),
         "MP": SamplerSpec(algo="mp", N=N, step_size=step_size),
         "PMP": SamplerSpec(
             algo="pmp", N=N, depth=deep, step_size=step_size

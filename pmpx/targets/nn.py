@@ -47,9 +47,18 @@ class NNPosterior:
         temper: float = 1.0,
         init_key: Optional[jnp.ndarray] = None,
         stochastic: bool = False,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` runs the forward pass (params and
+        activations) in bf16 for MXU throughput; the chain state, loss
+        reduction, and gradients stay f32.  The reference runs torch f32
+        everywhere — bf16 is the TPU-native option for the big posteriors.
+        """
         self.model = model
-        self.X = X
+        self.compute_dtype = compute_dtype
+        self.X = (
+            X.astype(compute_dtype) if compute_dtype is not None else X
+        )
         self.Y = Y
         self.temper = float(temper)
         self.stochastic = bool(stochastic)
@@ -86,7 +95,13 @@ class NNPosterior:
 
     # ------------------------------------------------------------------
     def _logits(self, theta, X, key=None):
-        variables = {"params": self._unravel(theta), **self._aux}
+        params = self._unravel(theta)
+        if self.compute_dtype is not None:
+            params = jax.tree.map(
+                lambda p: p.astype(self.compute_dtype), params
+            )
+            X = X.astype(self.compute_dtype)
+        variables = {"params": params, **self._aux}
         kwargs = {}
         if self.stochastic:
             kwargs["rngs"] = {"sample": key}
@@ -100,7 +115,7 @@ class NNPosterior:
     def _neg_loss(self, theta, key=None):
         logits = self._logits(theta, self.X, key)
         loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits, self.Y
+            logits.astype(jnp.float32), self.Y
         ).mean()
         return -self.temper * loss
 
