@@ -14,6 +14,8 @@ from pmpx.samplers.base import Target, Tempered, batch_log_prob, run_chain
 from pmpx.samplers.pmp import PMPConfig
 from pmpx.samplers.mp import MPConfig
 from pmpx.samplers.mh import MHConfig
+from pmpx.samplers.hmc import HMCConfig, MPHMCConfig, PMPHMCConfig
+from pmpx.config import RunSpec, SamplerSpec, load_spec
 
 __version__ = "0.1.0"
 
@@ -27,4 +29,10 @@ __all__ = [
     "PMPConfig",
     "MPConfig",
     "MHConfig",
+    "HMCConfig",
+    "MPHMCConfig",
+    "PMPHMCConfig",
+    "RunSpec",
+    "SamplerSpec",
+    "load_spec",
 ]
