@@ -33,7 +33,10 @@ def save_checkpoint(
     }
     for k, v in (extra or {}).items():
         arrays[f"extra_{k}"] = np.asarray(v)
-    np.savez(path, **arrays)
+    # savez to an open handle: np.savez(path_str) silently appends '.npz',
+    # which would break load/resume on the path we return
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
     return path
 
 

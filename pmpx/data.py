@@ -39,11 +39,20 @@ def _try_npz(name: str):
 
 
 def _synthetic_images(
-    key, shape: Tuple[int, ...], n_train: int, n_test: int, classes: int = 10
+    key,
+    shape: Tuple[int, ...],
+    n_train: int,
+    n_test: int,
+    classes: int = 10,
+    class_sep: float = 1.5,
 ):
-    """Class-prototype + noise images, standardized like the real datasets."""
+    """Class-prototype + noise images, standardized like the real datasets.
+
+    ``class_sep`` scales prototype separation relative to unit noise:
+    1.5 is easily learnable (CI default); ~0.3-0.5 gives MNIST-like
+    difficulty for experiments whose point is a nontrivial loss curve."""
     k_proto, k_tr, k_te, k_ytr, k_yte = jax.random.split(key, 5)
-    protos = jax.random.normal(k_proto, (classes,) + shape) * 1.5
+    protos = jax.random.normal(k_proto, (classes,) + shape) * class_sep
     y_train = jax.random.randint(k_ytr, (n_train,), 0, classes)
     y_test = jax.random.randint(k_yte, (n_test,), 0, classes)
     x_train = protos[y_train] + jax.random.normal(
@@ -53,10 +62,15 @@ def _synthetic_images(
     return x_train, y_train, x_test, y_test
 
 
-def load_mnist(n_train: int = 60000, n_test: int = 10000, seed: int = 0):
+def load_mnist(
+    n_train: int = 60000,
+    n_test: int = 10000,
+    seed: int = 0,
+    class_sep: float = 1.5,
+):
     """(x_train, y_train, x_test, y_test); images (N, 28, 28) float32,
     normalized; labels int32.  Reads ``mnist.npz`` from the data dir when
-    present, else synthesizes."""
+    present, else synthesizes (``class_sep`` controls difficulty)."""
     found = _try_npz("mnist.npz")
     if found is not None:
         x_tr, y_tr, x_te, y_te = found
@@ -69,11 +83,17 @@ def load_mnist(n_train: int = 60000, n_test: int = 10000, seed: int = 0):
             y_te[:n_test].astype(jnp.int32),
         )
     return _synthetic_images(
-        jax.random.key(seed), (28, 28), n_train, n_test
+        jax.random.key(seed), (28, 28), n_train, n_test,
+        class_sep=class_sep,
     )
 
 
-def load_cifar10(n_train: int = 50000, n_test: int = 10000, seed: int = 1):
+def load_cifar10(
+    n_train: int = 50000,
+    n_test: int = 10000,
+    seed: int = 1,
+    class_sep: float = 1.5,
+):
     """(x_train, y_train, x_test, y_test); images (N, 32, 32, 3) float32."""
     found = _try_npz("cifar10.npz")
     if found is not None:
@@ -87,5 +107,6 @@ def load_cifar10(n_train: int = 50000, n_test: int = 10000, seed: int = 1):
             y_te[:n_test].astype(jnp.int32),
         )
     return _synthetic_images(
-        jax.random.key(seed), (32, 32, 3), n_train, n_test
+        jax.random.key(seed), (32, 32, 3), n_train, n_test,
+        class_sep=class_sep,
     )

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_mnist
 from pmpx.metrics.recorder import save_trace
@@ -38,7 +39,7 @@ def run(
     if scale == "paper":
         n_train, n_test, num_steps = 60000, 10000, 30000
     N = 2**n - 1
-    depth = max(int(math.log2(N + 1)), 1)
+    depth = max(tree.binary_depth(N + 1), 1)
     x_tr, y_tr, x_te, y_te = load_mnist(n_train=n_train, n_test=n_test)
     target = NNPosterior(
         BayesMLP(hidden=hidden), x_tr, y_tr,

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_cifar10
 from pmpx.experiments.mnist import pretrain
@@ -46,7 +47,7 @@ def run(
     spec = SamplerSpec(
         algo=algo,
         N=N,
-        depth=int(math.log2(N + 1)),
+        depth=tree.binary_depth(N + 1),
         step_size=step_size,
         mom_scale=mom_scale,
         rule="mh_clamp" if algo == "pmp_hmc" else "barker",

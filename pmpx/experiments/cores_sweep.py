@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.metrics.recorder import save_trace
 from pmpx.samplers.base import run_chain
@@ -43,7 +44,7 @@ def run(
     out, traces = {}, {}
     for P in Ps:
         if algo == "pmp":
-            depth = int(np.log2(P))
+            depth = tree.binary_depth(P)
             spec = SamplerSpec(
                 algo="pmp", N=1, depth=depth, step_size=0.02,
                 selection="all_first",

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.samplers.base import run_chain
 from pmpx.targets import StandardMVN
@@ -46,7 +47,7 @@ def run(
         target = StandardMVN(d=dim)
         theta0 = jnp.full((dim,), 2.5, jnp.float32)
         for N in Ns:
-            depth = int(math.log2(N + 1))
+            depth = tree.binary_depth(N + 1)
             spec = SamplerSpec(
                 algo="pmp", N=1, depth=max(depth, 1),
                 step_size=sigma, trans_sigma=sigma,

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.metrics import ess, msjd
 from pmpx.metrics.recorder import save_trace
@@ -44,7 +45,7 @@ def run(
         for P in Ps:
             if algo == "pmp":
                 spec = SamplerSpec(
-                    algo="pmp", N=1, depth=int(np.log2(P)),
+                    algo="pmp", N=1, depth=tree.binary_depth(P),
                     step_size=0.02, selection="all_first",
                 )
             else:

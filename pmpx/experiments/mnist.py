@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_mnist
 from pmpx.metrics.recorder import reference_style_name, save_trace
@@ -61,13 +62,18 @@ def run(
     seed: int = 0,
     out_dir: str = "results/mnist",
     scale: str = "smoke",
+    class_sep: float = 1.5,
+    proposal_chunk=None,
 ):
     if scale == "paper":
         n_train, n_test, num_steps = 60000, 10000, 500000
-    x_tr, y_tr, x_te, y_te = load_mnist(n_train=n_train, n_test=n_test)
+    x_tr, y_tr, x_te, y_te = load_mnist(
+        n_train=n_train, n_test=n_test, class_sep=class_sep
+    )
     target = NNPosterior(
         MODELS[model](), x_tr, y_tr, temper=temper,
         init_key=jax.random.key(seed),
+        proposal_chunk=proposal_chunk,
     )
     theta0 = pretrain(target, pretrain_steps)
 
@@ -82,7 +88,7 @@ def run(
         )
     else:
         spec = SamplerSpec(
-            algo="pmp", N=1, depth=int(math.log2(N + 1)),
+            algo="pmp", N=1, depth=tree.binary_depth(N + 1),
             step_size=alpha, selection="single", stabilizer="zscore",
         )
     superstep = spec.build(target)
@@ -90,18 +96,10 @@ def run(
     def collect(theta, out):
         return -target.log_prob(theta) / target.temper  # CE loss
 
-    _, losses = jax.jit(
+    thetaF, losses = jax.jit(
         lambda k, t: run_chain(superstep, k, t, num_steps, collect=collect)
     )(jax.random.key(seed + 1), theta0)
     losses = np.asarray(losses)
-
-    # final state accuracy (re-run last step to get theta; cheaper: rerun
-    # collect with theta) — run once more collecting theta
-    thetaF, _ = jax.jit(
-        lambda k, t: run_chain(
-            superstep, k, t, num_steps, collect=lambda th, o: 0.0
-        )
-    )(jax.random.key(seed + 1), theta0)
     acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
     acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))
 

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.experiments._common import maybe_plot
 from pmpx.metrics import skewness
@@ -40,7 +41,7 @@ def run(
     target = BayesLinReg(x, y, temper=50.0 / n_data, method=method)
     if algo == "pmp":
         spec = SamplerSpec(
-            algo="pmp", N=1, depth=int(np.log2(P)), step_size=0.05,
+            algo="pmp", N=1, depth=tree.binary_depth(P), step_size=0.05,
             selection="all_first",
         )
     else:

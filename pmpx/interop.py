@@ -53,8 +53,16 @@ def theta_from_torch_state(
     """
     import jax
 
+    import re
+
+    def natural(name: str):
+        # flax auto-names are e.g. Dense_0, Dense_10: sort the numeric
+        # suffix numerically (lexicographic order would put 10 before 2)
+        m = re.match(r"(.*?)_(\d+)$", name)
+        return (m.group(1), int(m.group(2))) if m else (name, -1)
+
     params = posterior._unravel(posterior.init_theta())
-    flat_names = sorted(params.keys())
+    flat_names = sorted(params.keys(), key=natural)
 
     # collect torch (weight, bias) pairs in insertion order
     pairs = []

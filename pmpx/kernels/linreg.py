@@ -24,7 +24,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["batched_rss", "batched_rss_xla"]
+__all__ = ["batched_rss", "batched_rss_xla", "pad_proposals"]
+
+
+def pad_proposals(b0: jnp.ndarray, b1: jnp.ndarray):
+    """Zero-pad proposal vectors to a batch size ``batched_rss`` accepts.
+
+    The kernel chunks proposals by ``tp = min(64, P)`` and needs
+    ``P % tp == 0``: any P <= 64 works as-is; above that, a multiple of 64.
+    Returns (b0_padded, b1_padded, original_P).
+    """
+    P = b0.shape[0]
+    mult = 64 if P > 64 else 8
+    pad = (-P) % mult
+    if pad:
+        z = jnp.zeros((pad,), b0.dtype)
+        b0 = jnp.concatenate([b0, z])
+        b1 = jnp.concatenate([b1, z])
+    return b0, b1, P
 
 _LANES = 128
 # proposals per in-kernel chunk (sublane dimension of the broadcast tile)

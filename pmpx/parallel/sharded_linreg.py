@@ -55,12 +55,8 @@ class ShardedLinReg:
         return self.log_prob_batch(theta[None, :])[0]
 
     def log_prob_batch(self, Theta):
-        P = Theta.shape[0]
         b0, b1, sigma = Theta[:, 0], Theta[:, 1], Theta[:, 2]
-        if P % 16:
-            pad = 16 - P % 16
-            b0 = jnp.concatenate([b0, jnp.zeros((pad,), b0.dtype)])
-            b1 = jnp.concatenate([b1, jnp.zeros((pad,), b1.dtype)])
+        b0, b1, P = _k.pad_proposals(b0, b1)
         if self.method == "pallas":
             raw = _k.batched_rss(b0, b1, self.x2d, self.y2d)
         else:

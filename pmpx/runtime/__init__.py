@@ -104,7 +104,10 @@ def read_floats(path: str) -> np.ndarray:
     ``get_data`` txt format, ``conv_mp.cu:62-79``)."""
     lib = _load()
     if lib is None:
-        return np.loadtxt(path, dtype=np.float32).ravel()
+        # match the native parser's tolerance of comma separators
+        with open(path) as f:
+            toks = f.read().replace(",", " ").split()
+        return np.asarray(toks, dtype=np.float32)
     n = lib.rt_read_floats(path.encode(), None, 0)
     if n < 0:
         raise IOError(f"cannot read {path}")

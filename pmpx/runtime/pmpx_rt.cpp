@@ -97,6 +97,10 @@ struct TraceWriter {
   std::thread worker;
   std::atomic<bool> stop{false};
   std::atomic<long long> rows_written{0};
+  // true while a popped row is being fwritten; flush must wait for it too,
+  // otherwise a row popped-but-not-yet-written would be invisible to the
+  // empty-queue check and could miss the fsync it was acknowledged under
+  std::atomic<bool> in_flight{false};
 
   void loop() {
     for (;;) {
@@ -110,9 +114,11 @@ struct TraceWriter {
         }
         row = std::move(queue.front());
         queue.pop_front();
+        in_flight.store(true);
       }
       fwrite(row.data(), sizeof(float), row.size(), f);
       rows_written.fetch_add(1);
+      in_flight.store(false);
     }
     fflush(f);
     fsync(fileno(f));
@@ -146,11 +152,11 @@ void rt_trace_append(void* handle, const float* row) {
 
 long long rt_trace_flush(void* handle) {
   auto* w = static_cast<TraceWriter*>(handle);
-  // wait for the queue to drain, then fsync
+  // wait for the queue AND any in-flight row to drain, then fsync
   for (;;) {
     {
       std::lock_guard<std::mutex> lk(w->mu);
-      if (w->queue.empty()) break;
+      if (w->queue.empty() && !w->in_flight.load()) break;
     }
     std::this_thread::sleep_for(std::chrono::milliseconds(1));
   }

@@ -69,18 +69,34 @@ class Tempered:
     ``/2000`` (``conv_mp.cu:19``), ``/1000`` (``100000_MP.cu:19``), ``/10``
     (``500_MP.cu:19``), ``loss/10`` (``PMP_FC.py:44``), ``*50/N``
     (``lb.py:35``), ``lambda=10000`` (``MH_FC.py``).
+
+    Forwards ``needs_rng``/keys and any fused ``value_and_grad_batch`` of
+    the wrapped target.
     """
 
     def __init__(self, target: Target, beta: float):
         self.inner = target
         self.beta = float(beta)
         self.d = target.d
+        self.needs_rng = bool(getattr(target, "needs_rng", False))
+        if hasattr(target, "value_and_grad_batch"):
+            if self.needs_rng:
+                def vgb(Theta, key=None):
+                    v, g = target.value_and_grad_batch(Theta, key=key)
+                    return self.beta * v, self.beta * g
+            else:
+                def vgb(Theta):
+                    v, g = target.value_and_grad_batch(Theta)
+                    return self.beta * v, self.beta * g
+            self.value_and_grad_batch = vgb
 
-    def log_prob(self, theta):
+    def log_prob(self, theta, key=None):
+        if self.needs_rng:
+            return self.beta * self.inner.log_prob(theta, key)
         return self.beta * self.inner.log_prob(theta)
 
-    def log_prob_batch(self, Theta):
-        return self.beta * batch_log_prob(self.inner, Theta)
+    def log_prob_batch(self, Theta, key=None):
+        return self.beta * batch_log_prob(self.inner, Theta, key=key)
 
 
 def run_chain(

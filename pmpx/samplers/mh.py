@@ -40,7 +40,7 @@ class MHConfig:
 
 def make_superstep(target: Target, cfg: MHConfig):
     def superstep(key: jnp.ndarray, theta: jnp.ndarray):
-        k_eps, k_acc = jax.random.split(key)
+        k_eps, k_acc, k_t = jax.random.split(key, 3)
         if cfg.proposal == "normal":
             eps = cfg.step_size * jax.random.normal(
                 k_eps, theta.shape, theta.dtype
@@ -54,8 +54,16 @@ def make_superstep(target: Target, cfg: MHConfig):
                 cfg.step_size,
             )
         prop = theta + eps
-        lp_cur = target.log_prob(theta)
-        lp_prop = target.log_prob(prop)
+        # one batched call for {current, proposal} — same two evaluations
+        # per iteration as the reference (MetropolisOptimizer calls logpost
+        # twice, lb.py:65; conv_mh.cu's kernel evaluates both states), but
+        # as a single fused batch
+        from pmpx.samplers.base import batch_log_prob
+
+        lp = batch_log_prob(
+            target, jnp.stack([theta, prop]), key=k_t
+        )
+        lp_cur, lp_prop = lp[0], lp[1]
         if cfg.rule == "metropolis":
             log_acc = jnp.minimum(0.0, lp_prop - lp_cur)
         else:  # barker: p'/(p+p')

@@ -15,8 +15,12 @@ space, does not change) the sampled chain, so they are explicit options here:
   ``conv_mp.cu:55-61``).  NOTE: this rescales log-weights, i.e. it *tempers*
   the selection distribution — reproduced only for parity with the reference
   NN experiments.
-* NaN/Inf guard — replaces non-finite weights with weight 1 (logit 0), from
-  ``cifar_PMPhmc.py:106-107`` and ``Bayesian Network Training/main.py``.
+* NaN/Inf guard — replaces NaN and +inf weights with weight 1 (logit 0),
+  from ``cifar_PMPhmc.py:106-107`` and ``Bayesian Network Training/main.py``.
+  NOTE the reference guards in *linear* space, where a zero weight is a
+  legitimate "never select this node" and is left at 0; the log-space
+  equivalent is that ``-inf`` logits must stay ``-inf`` — only NaN (0/0
+  etc.) and +inf (overflow) are sanitized.
 """
 
 from __future__ import annotations
@@ -36,5 +40,6 @@ def stabilize_logits(
     elif mode != "none":
         raise ValueError(f"unknown stabilizer mode: {mode!r}")
     if nan_guard:
-        logA = jnp.where(jnp.isfinite(logA), logA, 0.0)
+        bad = jnp.isnan(logA) | (logA == jnp.inf)
+        logA = jnp.where(bad, 0.0, logA)
     return logA

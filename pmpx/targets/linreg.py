@@ -133,14 +133,11 @@ class BayesLinReg:
         )
 
     def _rss_padded(self, b0, b1):
-        """RSS handling the sweep kernels' multiple-of-16 proposal tiling."""
-        P = b0.shape[0]
-        if self.method != "suffstats" and P % 16:
-            pad = 16 - P % 16
-            b0p = jnp.concatenate([b0, jnp.zeros((pad,), b0.dtype)])
-            b1p = jnp.concatenate([b1, jnp.zeros((pad,), b1.dtype)])
-            return self._rss(b0p, b1p)[:P]
-        return self._rss(b0, b1)
+        """RSS handling the sweep kernels' proposal-tiling constraints."""
+        if self.method == "suffstats":
+            return self._rss(b0, b1)
+        b0p, b1p, P = _k.pad_proposals(b0, b1)
+        return self._rss(b0p, b1p)[:P]
 
     # -- Target protocol ---------------------------------------------------
     def log_prob(self, theta):

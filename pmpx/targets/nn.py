@@ -48,11 +48,19 @@ class NNPosterior:
         init_key: Optional[jnp.ndarray] = None,
         stochastic: bool = False,
         compute_dtype=None,
+        proposal_chunk: Optional[int] = None,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the forward pass (params and
         activations) in bf16 for MXU throughput; the chain state, loss
         reduction, and gradients stay f32.  The reference runs torch f32
         everywhere — bf16 is the TPU-native option for the big posteriors.
+
+        ``proposal_chunk`` bounds how many of the P speculative networks
+        evaluate concurrently: a full vmap multiplies activation memory by
+        P (a conv net at full batch OOMs at P=8 on one chip), so chunks of
+        size c evaluate via a sequential ``lax.map`` of width-c vmaps —
+        the memory/throughput dial between the reference's fully serial
+        loop (c=1) and full parallelism (c=P).
         """
         self.model = model
         self.compute_dtype = compute_dtype
@@ -63,6 +71,7 @@ class NNPosterior:
         self.temper = float(temper)
         self.stochastic = bool(stochastic)
         self.needs_rng = self.stochastic
+        self.proposal_chunk = proposal_chunk
         init_key = (
             init_key if init_key is not None else jax.random.key(0)
         )
@@ -123,21 +132,47 @@ class NNPosterior:
     def log_prob(self, theta, key=None):
         return self._neg_loss(theta, key)
 
+    def _chunked(self, fn, Theta, keys):
+        """Apply a vmapped fn over proposal chunks of bounded width."""
+        P = Theta.shape[0]
+        c = self.proposal_chunk
+        if c is None or c >= P:
+            return fn(Theta, keys)
+        if P % c:
+            raise ValueError(
+                f"proposal_chunk={c} must divide the batch size {P}"
+            )
+        Th = Theta.reshape(P // c, c, Theta.shape[-1])
+        Ks = keys.reshape(P // c, c) if keys is not None else None
+        if Ks is None:
+            out = jax.lax.map(lambda t: fn(t, None), Th)
+        else:
+            out = jax.lax.map(lambda tk: fn(tk[0], tk[1]), (Th, Ks))
+        return jax.tree.map(
+            lambda a: a.reshape((P,) + a.shape[2:]), out
+        )
+
     def log_prob_batch(self, Theta, key=None):
         if self.stochastic:
             keys = jax.random.split(key, Theta.shape[0])
-            return jax.vmap(self._neg_loss)(Theta, keys)
-        return jax.vmap(lambda t: self._neg_loss(t))(Theta)
+            f = lambda T, K: jax.vmap(self._neg_loss)(T, K)
+        else:
+            keys = None
+            f = lambda T, K: jax.vmap(lambda t: self._neg_loss(t))(T)
+        return self._chunked(f, Theta, keys)
 
     def value_and_grad_batch(self, Theta, key=None):
         if self.stochastic:
             keys = jax.random.split(key, Theta.shape[0])
-            return jax.vmap(
+            f = lambda T, K: jax.vmap(
                 jax.value_and_grad(self._neg_loss), in_axes=(0, 0)
-            )(Theta, keys)
-        return jax.vmap(
-            jax.value_and_grad(lambda t: self._neg_loss(t))
-        )(Theta)
+            )(T, K)
+        else:
+            keys = None
+            f = lambda T, K: jax.vmap(
+                jax.value_and_grad(lambda t: self._neg_loss(t))
+            )(T)
+        return self._chunked(f, Theta, keys)
 
     # ------------------------------------------------------------------
     def accuracy(self, theta, X=None, Y=None, key=None):

@@ -55,6 +55,22 @@ def num_nodes(N: int, depth: int) -> int:
     return (N + 1) ** depth
 
 
+def binary_depth(P: int) -> int:
+    """Depth of the binary tree with P nodes; rejects non-powers-of-two.
+
+    Guards the reference's implicit ``log2(N+1)`` conversions (e.g.
+    ``PMP_FC.py:108``), which silently truncate for invalid N and would run
+    a much smaller tree than requested.
+    """
+    d = P.bit_length() - 1
+    if P <= 0 or (1 << d) != P:
+        raise ValueError(
+            f"binary tree size must be a power of two, got {P} "
+            "(use N = 2**k - 1 proposals)"
+        )
+    return d
+
+
 @dataclasses.dataclass(frozen=True)
 class TreeTopology:
     """All static index structure of an (N, depth) proposal tree.

@@ -23,3 +23,9 @@ import jax  # noqa: E402
 # wins back.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite compiles ~100 scanned programs;
+# repeat runs hit the cache instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pmpx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
