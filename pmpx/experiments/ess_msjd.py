@@ -77,6 +77,17 @@ def run(
         out_dir,
         "ess_msjd",
         {"rows": np.asarray([(r[2], r[3], r[4]) for r in rows])},
-        {"rows": [f"{r[0]}_P{r[1]}" for r in rows]},
+        {"rows": [f"{r[0]}_P{r[1]}" for r in rows], "summary": out},
     )
+    try:
+        from pmpx.experiments.plots import render_ess_msjd
+        import json as _json
+        import os as _os
+
+        sp = _os.path.join(out_dir, "summary.json")
+        with open(sp, "w") as f:
+            _json.dump(out, f, indent=2)
+        render_ess_msjd(sp, out_dir)
+    except Exception:
+        pass
     return out

@@ -80,6 +80,23 @@ def test_ess_msjd_smoke(tmp_path):
         algos=("pmp",), out_dir=str(tmp_path), method="xla",
     )
     assert out["pmp_P8_ess_per_s"] > 0
+    # summary + comparison figures rendered alongside the trace
+    assert (tmp_path / "summary.json").exists()
+    assert (tmp_path / "ess_compare.pdf").exists()
+
+
+def test_render_convergence_figure(tmp_path):
+    from pmpx.experiments import convergence
+    from pmpx.experiments.plots import render_convergence
+
+    convergence.run(
+        n_data=1024, num_steps=50, temper=50.0 / 1024,
+        out_dir=str(tmp_path), method="xla", algos=("MP",),
+    )
+    assert render_convergence(
+        str(tmp_path / "convergence.npz"), str(tmp_path)
+    )
+    assert (tmp_path / "conv_iter_and_time.pdf").exists()
 
 
 def test_skewness_smoke(tmp_path):
