@@ -4,9 +4,9 @@ The reference has no mid-run checkpointing (SURVEY.md §5): warm-start .pkl
 loads at start, results saved once at the end, and the only crash
 resilience is the CUDA drivers' per-iteration txt streams.  Here a
 checkpoint captures everything needed for bitwise-exact resume: the chain
-state(s), the *unsplit* PRNG key, and the step counter.  Orbax handles the
-serialization when available; a self-contained .npz fallback keeps the
-feature dependency-free.
+state(s), the *unsplit* PRNG key, and the step counter, serialized as a
+self-contained .npz (no heavyweight checkpoint dependency needed for flat
+chain state; swap in orbax if sharded pytree state ever needs it).
 """
 
 from __future__ import annotations

