@@ -14,6 +14,7 @@
 | mnist           | FC/CNN/LSTM x MH/MP/PMP posterior sampling, ``complex_nets/Mnist`` |
 | cifar_hmc       | SP/MP/PMP-HMC on LeNet, ``complex_nets/Cifar-10`` |
 | bnn             | PMP-HMC over mean-field BNN, ``Bayesian Network Training/main.py`` |
+| multichain      | R-hat / per-chain ESS over vmapped or sharded chain batches (beyond the reference) |
 
 Every module exposes ``run(**overrides) -> dict`` (summary scalars) and
 saves traces via ``pmpx.metrics.recorder``.  Defaults are smoke-sized; pass
@@ -33,4 +34,5 @@ EXPERIMENTS = [
     "mnist",
     "cifar_hmc",
     "bnn",
+    "multichain",
 ]

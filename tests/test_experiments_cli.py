@@ -143,6 +143,19 @@ def test_cifar_hmc_smoke(tmp_path):
     assert np.isfinite(out["loss_last"])
 
 
+def test_multichain_diagnostics(tmp_path):
+    from pmpx.experiments import multichain
+
+    out = multichain.run(
+        n_data=1024, n_chains=8, num_steps=400,
+        out_dir=str(tmp_path), method="xla", sharded=True,
+    )
+    # well-mixed chains on an easy posterior: R-hat near 1
+    assert out["rhat_beta0"] < 1.2, out
+    assert out["ess_beta0"] > 10
+    assert abs(out["mean_beta0"] + 1.0) < 0.15
+
+
 def test_cli_list_and_run(tmp_path):
     env_script = (
         "import os;"
