@@ -13,11 +13,14 @@ Three exact evaluation strategies, selectable per experiment:
   (``pmpx.kernels.linreg``), the apples-to-apples counterpart of the
   reference CUDA kernels for benchmarking;
 * ``"xla"`` — same sweep in pure XLA (non-TPU backends, numerics oracle);
-* ``"suffstats"`` — O(P) per evaluation via the five data sufficient
-  statistics (sum x, sum y, sum x^2, sum y^2, sum xy), precomputed once.
-  For this quadratic likelihood the sweep and the statistics are
-  algebraically identical; this is the TPU-first production path the
-  CUDA design (one thread re-reading all data per proposal) cannot reach.
+* ``"fused"`` — O(n + P) per evaluation: the five data sufficient
+  statistics (sum x, sum y, sum x^2, sum y^2, sum xy) are recomputed from
+  the full dataset on every call (the data still streams through the chip
+  each iteration) and the P residual sums follow in O(P).  Algebraically
+  identical to the sweep; this is the TPU-first production path the CUDA
+  design (one thread re-reading all data per proposal) cannot reach.
+* ``"suffstats"`` — O(P) per evaluation with the statistics precomputed
+  once at construction (valid because the data never changes).
 """
 
 from __future__ import annotations
@@ -80,7 +83,7 @@ class BayesLinReg:
                 if jax.default_backend() not in ("cpu",)
                 else "xla"
             )
-        if method not in ("pallas", "xla", "suffstats"):
+        if method not in ("pallas", "xla", "fused", "suffstats"):
             raise ValueError(f"unknown linreg method {method!r}")
         self.method = method
         self.temper = float(temper)
@@ -108,6 +111,17 @@ class BayesLinReg:
         )
 
     # -- rss strategies ----------------------------------------------------
+    def _rss_from_stats(self, b0, b1, stats):
+        sx, sy, sxx, syy, sxy = stats
+        return (
+            syy
+            + self.n * b0 * b0
+            + b1 * b1 * sxx
+            + 2.0 * b0 * b1 * sx
+            - 2.0 * b0 * sy
+            - 2.0 * b1 * sxy
+        )
+
     def _rss(self, b0, b1):
         if self.method == "pallas":
             raw = _k.batched_rss(b0, b1, self.x2d, self.y2d)
@@ -115,16 +129,19 @@ class BayesLinReg:
         if self.method == "xla":
             raw = _k.batched_rss_xla(b0, b1, self.x2d, self.y2d)
             return raw - self.pad_count * b0 * b0
-        sx, sy, sxx, syy, sxy = self.stats
-        n = self.n
-        return (
-            syy
-            + n * b0 * b0
-            + b1 * b1 * sxx
-            + 2.0 * b0 * b1 * sx
-            - 2.0 * b0 * sy
-            - 2.0 * b1 * sxy
-        )
+        if self.method == "fused":
+            # recompute the statistics from the (zero-padded, hence exact)
+            # data grid on every call: one O(n) streaming pass + O(P)
+            x, y = self.x2d, self.y2d
+            stats = (
+                jnp.sum(x),
+                jnp.sum(y),
+                jnp.sum(x * x),
+                jnp.sum(y * y),
+                jnp.sum(x * y),
+            )
+            return self._rss_from_stats(b0, b1, stats)
+        return self._rss_from_stats(b0, b1, self.stats)
 
     def _loglik_from_rss(self, rss, sigma):
         s2 = jnp.maximum(sigma * sigma, 1e-30)
@@ -134,7 +151,7 @@ class BayesLinReg:
 
     def _rss_padded(self, b0, b1):
         """RSS handling the sweep kernels' proposal-tiling constraints."""
-        if self.method == "suffstats":
+        if self.method in ("suffstats", "fused"):
             return self._rss(b0, b1)
         b0p, b1p, P = _k.pad_proposals(b0, b1)
         return self._rss(b0p, b1p)[:P]

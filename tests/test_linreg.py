@@ -18,12 +18,15 @@ def test_rss_strategies_agree():
     x, y = make_synthetic_linreg(key, 5000)
     t_xla = BayesLinReg(x, y, method="xla")
     t_ss = BayesLinReg(x, y, method="suffstats")
+    t_fu = BayesLinReg(x, y, method="fused")
     Theta = jax.random.normal(jax.random.key(1), (32, 3)) * 0.5 + jnp.array(
         [0.0, 0.0, 1.0]
     )
     a = np.asarray(t_xla.log_prob_batch(Theta))
     b = np.asarray(t_ss.log_prob_batch(Theta))
+    c = np.asarray(t_fu.log_prob_batch(Theta))
     np.testing.assert_allclose(a, b, rtol=2e-4)
+    np.testing.assert_allclose(c, b, rtol=2e-4)
 
 
 def test_rss_pallas_interpret_matches_xla():
