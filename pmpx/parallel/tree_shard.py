@@ -24,6 +24,7 @@ from pmpx.samplers.base import Target, batch_log_prob
 from pmpx.samplers.pmp import (
     PMPConfig,
     log_accept_tree,
+    select_and_emit,
     tree_positions,
 )
 from pmpx.samplers.stabilize import stabilize_logits
@@ -58,23 +59,9 @@ def make_tree_sharded_superstep(
 
         logA = log_accept_tree(Y, logpi, topo, trans)
         logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
-
-        if cfg.selection == "single":
-            idx = jax.random.categorical(k_draw, logits)
-            theta2 = Y[idx]
-            samples = theta2[None, :]
-            root = idx
-        else:
-            from pmpx.resample import categorical_many
-
-            draws = categorical_many(k_draw, logits, P)
-            samples = Y[draws]
-            if cfg.selection == "all_uniform":
-                pick = jax.random.randint(k_root, (), 0, P)
-                root = draws[pick]
-            else:
-                root = draws[0]
-            theta2 = Y[root]
+        theta2, samples, root = select_and_emit(
+            cfg, Y, logits, k_draw, k_root
+        )
         return theta2, {
             "samples": samples,
             "log_accept": logA,

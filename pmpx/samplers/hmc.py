@@ -308,20 +308,11 @@ def _make_pmp_hmc(target: Target, cfg: PMPHMCConfig):
                 logA = logA + jnp.log(wn) - jnp.log(wn + wo)
 
         logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
-        if cfg.selection == "single":
-            idx = jax.random.categorical(k_draw, logits)
-            theta2 = Y[idx]
-            samples = theta2[None, :]
-            root = idx
-        else:
-            draws = jax.random.categorical(k_draw, logits, shape=(P,))
-            samples = Y[draws]
-            if cfg.selection == "all_uniform":
-                pick = jax.random.randint(k_root, (), 0, P)
-                root = draws[pick]
-            else:
-                root = draws[0]
-            theta2 = Y[root]
+        from pmpx.samplers.pmp import select_and_emit
+
+        theta2, samples, root = select_and_emit(
+            cfg, Y, logits, k_draw, k_root
+        )
         return theta2, {
             "samples": samples,
             "log_accept": logA,

@@ -182,6 +182,29 @@ def log_accept_tree(
     return logA
 
 
+def select_and_emit(cfg, Y, logits, k_draw, k_root):
+    """Resampling + next-root selection shared by all tree samplers.
+
+    Implements the three reference selection modes (see PMPConfig) over
+    stabilized logits; returns (theta', samples, root_index).
+    """
+    P = Y.shape[0]
+    if cfg.selection == "single":
+        idx = jax.random.categorical(k_draw, logits)
+        theta2 = Y[idx]
+        return theta2, theta2[None, :], idx
+    from pmpx.resample import categorical_many
+
+    draws = categorical_many(k_draw, logits, P)
+    samples = Y[draws]
+    if cfg.selection == "all_uniform":
+        pick = jax.random.randint(k_root, (), 0, P)
+        root = draws[pick]
+    else:  # all_first
+        root = draws[0]
+    return Y[root], samples, root
+
+
 def make_superstep(target: Target, cfg: PMPConfig):
     """Build the pure superstep ``(key, theta) -> (theta', out)``.
 
@@ -202,23 +225,9 @@ def make_superstep(target: Target, cfg: PMPConfig):
         logpi = batch_log_prob(target, Y, key=k_target)
         logA = log_accept_tree(Y, logpi, topo, trans)
         logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
-
-        if cfg.selection == "single":
-            idx = jax.random.categorical(k_draw, logits)
-            theta2 = Y[idx]
-            samples = theta2[None, :]
-            root = idx
-        else:
-            from pmpx.resample import categorical_many
-
-            draws = categorical_many(k_draw, logits, P)
-            samples = Y[draws]
-            if cfg.selection == "all_uniform":
-                pick = jax.random.randint(k_root, (), 0, P)
-                root = draws[pick]
-            else:  # all_first
-                root = draws[0]
-            theta2 = Y[root]
+        theta2, samples, root = select_and_emit(
+            cfg, Y, logits, k_draw, k_root
+        )
         return theta2, {
             "samples": samples,
             "log_accept": logA,
