@@ -96,6 +96,29 @@ def test_pmp_banana_moments():
     assert abs(s[:, 1].std() - 3.0) < 1.3
 
 
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        PMPConfig(N=7, depth=1, step_size=1.0, selection="single"),
+        PMPConfig(N=1, depth=3, step_size=1.0, selection="single"),
+        PMPConfig(N=3, depth=2, step_size=1.0, selection="single"),
+    ],
+    ids=["mp", "binary-pmp", "general-pmp"],
+)
+def test_one_superstep_invariance(cfg):
+    """Stationarity: chains started AT the target stay AT the target after
+    one superstep (KS test over many parallel chains) — the sharp exactness
+    property behind the reference's error-boxplot validation."""
+    target = Gaussian1D()
+    superstep = pmp.make_superstep(target, cfg)
+    C = 50000
+    x0 = jax.random.normal(jax.random.key(0), (C, 1))
+    keys = jax.random.split(jax.random.key(1), C)
+    x1 = jax.jit(jax.vmap(lambda k, x: superstep(k, x)[0]))(keys, x0)
+    ks = stats.kstest(np.asarray(x1).ravel(), "norm")
+    assert ks.pvalue > 0.01, ks
+
+
 def test_resampling_follows_weights():
     """Categorical draws match the stabilized weights (chi-square)."""
     key = jax.random.key(0)
