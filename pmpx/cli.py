@@ -39,6 +39,22 @@ def _parse_value(v: str):
 
 
 def main(argv=None):
+    import os
+
+    # Some TPU transports register their PJRT plugin at interpreter start
+    # and win over the JAX_PLATFORMS environment variable; re-assert the
+    # user's choice through the config API (which wins back) before any
+    # backend initializes.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_platforms", os.environ["JAX_PLATFORMS"]
+            )
+        except Exception:
+            pass
+
     parser = argparse.ArgumentParser(prog="pmpx")
     sub = parser.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="list experiments")

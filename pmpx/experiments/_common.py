@@ -8,7 +8,15 @@ import numpy as np
 
 from pmpx.samplers.base import run_chain
 
-__all__ = ["collect_samples", "maybe_plot"]
+__all__ = ["collect_samples", "maybe_plot", "as_tuple"]
+
+
+def as_tuple(v):
+    """Accept scalars for tuple-valued experiment knobs (the CLI parses a
+    single `--Ps 4` as an int, `--Ps 4,16` as a tuple)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    return (v,)
 
 
 def collect_samples(superstep, key, theta0, num_steps, burn_frac=0.2):

@@ -18,6 +18,7 @@ import numpy as np
 
 from pmpx import tree
 from pmpx.config import SamplerSpec
+from pmpx.experiments._common import as_tuple
 from pmpx.metrics.recorder import save_trace
 from pmpx.samplers.base import run_chain
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
@@ -36,6 +37,7 @@ def run(
     scale: str = "smoke",
     method: str = "auto",
 ):
+    Ps = as_tuple(Ps)
     if scale == "paper":
         set_time = 180.0
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)

@@ -23,6 +23,7 @@ import numpy as np
 
 from pmpx import tree
 from pmpx.config import SamplerSpec
+from pmpx.experiments._common import as_tuple
 from pmpx.samplers.base import run_chain
 from pmpx.targets import StandardMVN
 
@@ -37,6 +38,7 @@ def run(
     out_dir: str = "results/correlation",
     scale: str = "smoke",
 ):
+    dims, Ns, nums = as_tuple(dims), as_tuple(Ns), as_tuple(nums)
     if scale == "smoke":
         dims = dims[:3]
         Ns = Ns[:3]

@@ -18,6 +18,7 @@ import numpy as np
 
 from pmpx import tree
 from pmpx.config import SamplerSpec
+from pmpx.experiments._common import as_tuple
 from pmpx.metrics import ess, msjd
 from pmpx.metrics.recorder import save_trace
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
@@ -34,6 +35,8 @@ def run(
     scale: str = "smoke",
     method: str = "auto",
 ):
+    Ps = as_tuple(Ps)
+    algos = as_tuple(algos)
     if scale == "paper":
         n_data, num_steps, burn_in = 100000, 1_000_000, 2000
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pmpx.config import SamplerSpec
-from pmpx.experiments._common import collect_samples, maybe_plot
+from pmpx.experiments._common import as_tuple, collect_samples, maybe_plot
 from pmpx.metrics.recorder import save_trace
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
 
@@ -26,6 +26,7 @@ def run(
     scale: str = "smoke",
     method: str = "auto",
 ):
+    steps = as_tuple(steps)
     if scale == "paper":
         n_data, num_steps = 100000, 2500
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)

@@ -44,21 +44,22 @@ def run(
     )
     superstep = spec.build(target)
     keys = jax.random.split(jax.random.key(seed + 1), n_chains)
-    # overdispersed initializations, as R-hat methodology requires
-    theta0 = jnp.stack(
-        [
-            jnp.array([b0, b1, 1.0], jnp.float32)
-            for b0, b1 in np.random.default_rng(seed).uniform(
-                -3, 3, size=(n_chains, 2)
-            )
-        ]
+    # overdispersed initializations in EVERY coordinate (sigma included),
+    # as R-hat methodology requires
+    rng = np.random.default_rng(seed)
+    inits = rng.uniform(-3, 3, size=(n_chains, 2))
+    sigmas = rng.uniform(0.3, 2.0, size=(n_chains, 1))
+    theta0 = jnp.asarray(
+        np.concatenate([inits, sigmas], axis=1), jnp.float32
     )
     collect = lambda th, o: th
     if sharded:
         mesh = make_mesh(chains=n_chains)
-        _, roots = run_chains_sharded(
-            superstep, keys, theta0, num_steps, mesh, collect=collect
-        )
+        _, roots = jax.jit(
+            lambda k, t: run_chains_sharded(
+                superstep, k, t, num_steps, mesh, collect=collect
+            )
+        )(keys, theta0)
     else:
         _, roots = jax.jit(
             lambda k, t: run_chains_vmapped(

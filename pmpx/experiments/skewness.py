@@ -15,7 +15,7 @@ import numpy as np
 
 from pmpx import tree
 from pmpx.config import SamplerSpec
-from pmpx.experiments._common import maybe_plot
+from pmpx.experiments._common import as_tuple, maybe_plot
 from pmpx.metrics import skewness
 from pmpx.metrics.recorder import save_trace
 from pmpx.parallel import run_chains_vmapped
@@ -34,6 +34,7 @@ def run(
     scale: str = "smoke",
     method: str = "auto",
 ):
+    checkpoints = as_tuple(checkpoints)
     if scale == "paper":
         n_data, num_steps = 100000, 5000
         checkpoints = (500, 1000, 2000, 5000)

@@ -18,6 +18,7 @@ import numpy as np
 
 from pmpx import tree
 from pmpx.config import SamplerSpec
+from pmpx.experiments._common import as_tuple
 from pmpx.metrics.recorder import save_trace
 from pmpx.samplers.base import run_chain
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
@@ -42,8 +43,15 @@ def run(
     seed: int = 0,
     out_dir: str = "results/time",
     scale: str = "smoke",
-    method: str = "auto",
+    # "sweep" = the O(P*n) kernel, like-for-like with the reference CUDA
+    # kernels (BayesLinReg's "auto" would pick the fused statistics path,
+    # which is the production default but not the kernel this compares)
+    method: str = "sweep",
 ):
+    data_sizes = as_tuple(data_sizes)
+    Ps = as_tuple(Ps)
+    if method == "sweep":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
     out = {}
     rows = []
     for n_data in data_sizes:

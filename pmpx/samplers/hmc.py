@@ -44,6 +44,7 @@ import numpy as np
 
 from pmpx import tree as tree_mod
 from pmpx.samplers.base import Target
+from pmpx.samplers.pmp import select_and_emit
 from pmpx.samplers.stabilize import stabilize_logits
 
 __all__ = ["HMCConfig", "MPHMCConfig", "PMPHMCConfig", "make_superstep"]
@@ -308,8 +309,6 @@ def _make_pmp_hmc(target: Target, cfg: PMPHMCConfig):
                 logA = logA + jnp.log(wn) - jnp.log(wn + wo)
 
         logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
-        from pmpx.samplers.pmp import select_and_emit
-
         theta2, samples, root = select_and_emit(
             cfg, Y, logits, k_draw, k_root
         )

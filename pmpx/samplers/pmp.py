@@ -39,7 +39,13 @@ from pmpx.transition import GaussianRW
 from pmpx.samplers.base import Target, batch_log_prob
 from pmpx.samplers.stabilize import stabilize_logits
 
-__all__ = ["PMPConfig", "tree_positions", "log_accept_tree", "make_superstep"]
+__all__ = [
+    "PMPConfig",
+    "tree_positions",
+    "log_accept_tree",
+    "select_and_emit",
+    "make_superstep",
+]
 
 
 @dataclasses.dataclass(frozen=True)

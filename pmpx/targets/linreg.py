@@ -7,7 +7,7 @@ sigma); the likelihood uses sigma**2 so it is sign-agnostic like the
 reference's (which never constrains sigma; ``lb.py:34`` uses ``.abs()``,
 ``conv_mp.cu:19`` squares).
 
-Three exact evaluation strategies, selectable per experiment:
+Four exact evaluation strategies, selectable per experiment:
 
 * ``"pallas"`` — the O(P*n) data sweep as a Pallas VPU kernel
   (``pmpx.kernels.linreg``), the apples-to-apples counterpart of the
@@ -78,11 +78,11 @@ class BayesLinReg:
         method: str = "auto",
     ):
         if method == "auto":
-            method = (
-                "pallas"
-                if jax.default_backend() not in ("cpu",)
-                else "xla"
-            )
+            # the fused statistics path is exact and the fastest on every
+            # backend; the sweep kernels exist for like-for-like benchmark
+            # comparison with the reference CUDA kernels and for the
+            # general pattern (request "pallas"/"xla" explicitly)
+            method = "fused"
         if method not in ("pallas", "xla", "fused", "suffstats"):
             raise ValueError(f"unknown linreg method {method!r}")
         self.method = method
