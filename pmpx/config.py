@@ -21,7 +21,7 @@ __all__ = ["SamplerSpec", "RunSpec", "load_spec"]
 class SamplerSpec:
     """Which sampler and its knobs.
 
-    algo: mh | mp | pmp | sp_hmc | mp_hmc | pmp_hmc
+    algo: mh | mp | psp | pmp | sp_hmc | mp_hmc | pmp_hmc
     """
 
     algo: str = "pmp"
@@ -53,6 +53,20 @@ class SamplerSpec:
                     step_size=self.step_size,
                     rule=rule,
                     proposal=self.proposal,
+                ),
+            )
+        if self.algo == "psp":
+            from pmpx.samplers import psp
+            from pmpx.samplers.psp import PSPConfig
+
+            return psp.make_superstep(
+                target,
+                PSPConfig(
+                    P=2**self.depth,
+                    step_size=self.step_size,
+                    trans_sigma=self.trans_sigma,
+                    selection=self.selection,
+                    stabilizer=self.stabilizer,
                 ),
             )
         if self.algo == "mp":

@@ -1,6 +1,7 @@
 from pmpx.samplers.base import Target, Tempered, batch_log_prob, run_chain
 from pmpx.samplers.pmp import PMPConfig
 from pmpx.samplers.mp import MPConfig
+from pmpx.samplers.psp import PSPConfig
 from pmpx.samplers.mh import MHConfig
 from pmpx.samplers.hmc import HMCConfig, MPHMCConfig, PMPHMCConfig
 
@@ -14,5 +15,6 @@ __all__ = [
     "run_chain",
     "PMPConfig",
     "MPConfig",
+    "PSPConfig",
     "MHConfig",
 ]
