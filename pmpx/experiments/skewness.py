@@ -35,19 +35,25 @@ def run(
     method: str = "auto",
 ):
     checkpoints = as_tuple(checkpoints)
+    temper = 50.0 / n_data
+    step = 0.05
     if scale == "paper":
-        n_data, num_steps = 100000, 5000
-        checkpoints = (500, 1000, 2000, 5000)
+        # protocol parity: the reference's skewness notebook analyses the
+        # CUDA ESS dumps (ess_per_s_*.cu: 100k data, tempering 1/2000,
+        # alpha 0.02)
+        n_data, num_steps = 100000, 100000
+        checkpoints = (5000, 20000, 50000, 100000)
+        temper, step = 1.0 / 2000.0, 0.02
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
-    target = BayesLinReg(x, y, temper=50.0 / n_data, method=method)
+    target = BayesLinReg(x, y, temper=temper, method=method)
     if algo == "pmp":
         spec = SamplerSpec(
-            algo="pmp", N=1, depth=tree.binary_depth(P), step_size=0.05,
+            algo="pmp", N=1, depth=tree.binary_depth(P), step_size=step,
             selection="all_first",
         )
     else:
         spec = SamplerSpec(
-            algo="mp", N=P - 1, step_size=0.05, selection="all_first"
+            algo="mp", N=P - 1, step_size=step, selection="all_first"
         )
     superstep = spec.build(target)
     keys = jax.random.split(jax.random.key(seed + 1), n_chains)
