@@ -85,6 +85,14 @@ class PMPConfig:
     def __post_init__(self):
         if self.selection not in ("all_uniform", "all_first", "single"):
             raise ValueError(f"unknown selection mode {self.selection!r}")
+        if self.N < 1:
+            raise ValueError(f"N must be >= 1, got {self.N}")
+        if self.depth < 1:
+            raise ValueError(f"depth must be >= 1, got {self.depth}")
+        if self.step_size <= 0:
+            raise ValueError(f"step_size must be > 0, got {self.step_size}")
+        if self.stabilizer not in ("none", "zscore"):
+            raise ValueError(f"unknown stabilizer {self.stabilizer!r}")
 
     @property
     def P(self) -> int:
