@@ -35,6 +35,7 @@ def run(
     seed: int = 0,
     out_dir: str = "results/cifar",
     scale: str = "smoke",
+    warm_start: str = "",
 ):
     if scale == "paper":
         n_train, n_test = 50000, 10000
@@ -42,7 +43,16 @@ def run(
     target = NNPosterior(
         LeNet(), x_tr, y_tr, init_key=jax.random.key(seed)
     )
-    theta0 = pretrain(target, pretrain_steps)
+    if warm_start:
+        # seed from a torch checkpoint, e.g. the reference's committed
+        # cifar.pkl LeNet warm start (cifar_PMPhmc.py:175-176)
+        from pmpx.interop import load_torch_pickle, theta_from_torch_state
+
+        theta0 = theta_from_torch_state(
+            target, load_torch_pickle(warm_start)
+        )
+    else:
+        theta0 = pretrain(target, pretrain_steps)
 
     spec = SamplerSpec(
         algo=algo,

@@ -25,6 +25,24 @@ from pmpx.samplers.base import run_chain
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
 
 
+def load_reference_data(data_dir: str):
+    """Load the reference's committed 100k-point dataset (the exact bytes
+    behind every CUDA convergence/timing number): ``data_x.txt`` /
+    ``data_y.txt`` as read by ``conv_mp.cu:62-79`` (space-separated floats,
+    single line).  Parsed with the native runtime's mmap float reader."""
+    import os
+
+    from pmpx import runtime
+
+    x = runtime.read_floats(os.path.join(data_dir, "data_x.txt"))
+    y = runtime.read_floats(os.path.join(data_dir, "data_y.txt"))
+    if x.shape != y.shape or x.size == 0:
+        raise ValueError(
+            f"bad reference dataset in {data_dir}: x{x.shape} y{y.shape}"
+        )
+    return jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+
+
 def run(
     n_data: int = 100000,
     num_steps: int = 500,
@@ -34,10 +52,15 @@ def run(
     scale: str = "smoke",
     method: str = "auto",
     algos=("MH", "MP", "PMP"),
+    data_dir: str = "",
 ):
     if scale == "paper":
         num_steps = 3000  # conv_mp.cu num_steps
-    x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
+    if data_dir:
+        x, y = load_reference_data(data_dir)
+        n_data = int(x.shape[0])
+    else:
+        x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
     target = BayesLinReg(x, y, temper=temper, method=method)
     theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
     specs = {

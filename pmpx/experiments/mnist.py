@@ -64,6 +64,7 @@ def run(
     scale: str = "smoke",
     class_sep: float = 1.5,
     proposal_chunk=None,
+    warm_start: str = "",
 ):
     if scale == "paper":
         n_train, n_test, num_steps = 60000, 10000, 500000
@@ -75,7 +76,16 @@ def run(
         init_key=jax.random.key(seed),
         proposal_chunk=proposal_chunk,
     )
-    theta0 = pretrain(target, pretrain_steps)
+    if warm_start:
+        # seed from a torch checkpoint, e.g. the reference's own committed
+        # FC_model.pkl / CNN_model.pkl / LSTM_model.pkl (PMP_FC.py:188-189)
+        from pmpx.interop import load_torch_pickle, theta_from_torch_state
+
+        theta0 = theta_from_torch_state(
+            target, load_torch_pickle(warm_start)
+        )
+    else:
+        theta0 = pretrain(target, pretrain_steps)
 
     import math
 
