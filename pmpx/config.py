@@ -29,9 +29,13 @@ class SamplerSpec:
     depth: int = 3
     step_size: float = 0.1
     trans_sigma: float = 1.0
-    selection: str = "all_uniform"
+    # None means "this algo's own default": all_uniform for the tree
+    # samplers but single for pmp_hmc (the reference's cifar protocol),
+    # metropolis for MH but barker for pmp_hmc.  Explicit values are
+    # always honored (and rejected loudly when invalid for the algo).
+    selection: Optional[str] = None
     stabilizer: str = "none"
-    rule: str = "barker"  # HMC acceptance rule / MH rule
+    rule: Optional[str] = None  # HMC acceptance rule / MH rule
     proposal: str = "normal"  # MH only: "uniform" for error.py:27 parity
     mom_scale: float = 1.0
     num_leapfrog: int = 1
@@ -45,8 +49,17 @@ class SamplerSpec:
         from pmpx.samplers.mp import MPConfig
         from pmpx.samplers.pmp import PMPConfig
 
+        selection = self.selection
+        if selection is None:
+            selection = "single" if self.algo == "pmp_hmc" else "all_uniform"
+
         if self.algo == "mh":
-            rule = self.rule if self.rule in ("metropolis", "barker") else "metropolis"
+            rule = self.rule if self.rule is not None else "metropolis"
+            if rule not in ("metropolis", "barker"):
+                raise ValueError(
+                    f"rule {rule!r} is not valid for MH "
+                    "(expected 'metropolis' or 'barker')"
+                )
             return mh.make_superstep(
                 target,
                 MHConfig(
@@ -65,7 +78,7 @@ class SamplerSpec:
                     P=2**self.depth,
                     step_size=self.step_size,
                     trans_sigma=self.trans_sigma,
-                    selection=self.selection,
+                    selection=selection,
                     stabilizer=self.stabilizer,
                 ),
             )
@@ -76,7 +89,7 @@ class SamplerSpec:
                     N=self.N,
                     step_size=self.step_size,
                     trans_sigma=self.trans_sigma,
-                    selection=self.selection,
+                    selection=selection,
                     stabilizer=self.stabilizer,
                 ),
             )
@@ -88,7 +101,7 @@ class SamplerSpec:
                     depth=self.depth,
                     step_size=self.step_size,
                     trans_sigma=self.trans_sigma,
-                    selection=self.selection,
+                    selection=selection,
                     stabilizer=self.stabilizer,
                 ),
             )
@@ -118,11 +131,9 @@ class SamplerSpec:
                     depth=self.depth,
                     step_size=self.step_size,
                     mom_scale=self.mom_scale,
-                    rule=self.rule,
+                    rule=self.rule if self.rule is not None else "barker",
                     stabilizer=self.stabilizer,
-                    selection=self.selection
-                    if self.selection != "all_uniform"
-                    else "single",
+                    selection=selection,
                 ),
             )
         raise ValueError(f"unknown algo {self.algo!r}")

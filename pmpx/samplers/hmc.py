@@ -70,14 +70,14 @@ def _value_and_grad_batch(target: Target) -> Callable:
     return lambda Theta, key: g(Theta)
 
 
-def _leapfrog(vg, theta, p, step_size, key=None):
+def _leapfrog(vg, theta, p, step_size, key):
     """One leapfrog step for a batch: (B, d) positions/momenta.
 
     Returns (theta', p', logpi(theta'), grad(theta')).  Uses the gradient at
     theta (recomputed — one extra vg call per level keeps the code shape
-    simple; the second vg at theta' is reused as the next level's base)."""
-    if key is None:
-        key = jax.random.key(0)
+    simple; the second vg at theta' is reused as the next level's base).
+    ``key`` is required so stochastic (needs_rng) targets never silently
+    reuse a constant noise stream."""
     k1, k2 = jax.random.split(key)
     _, g0 = vg(theta, k1)
     p_half = p + 0.5 * step_size * g0
@@ -108,12 +108,14 @@ def _make_sp_hmc(target: Target, cfg: HMCConfig):
         p0 = cfg.mom_scale * jax.random.normal(
             k_p, theta.shape, theta.dtype
         )
-        lp0, _ = vg(theta[None, :], k_t)
+        # distinct keys for the H0 evaluation and each leapfrog step, so
+        # stochastic targets never correlate density evals across levels
+        lf_keys = jax.random.split(k_t, cfg.num_leapfrog + 1)
+        lp0, _ = vg(theta[None, :], lf_keys[0])
         th, p = theta[None, :], p0[None, :]
-        lf_keys = jax.random.split(k_t, cfg.num_leapfrog)
         for i in range(cfg.num_leapfrog):
             th, p, lp1, _ = _leapfrog(
-                vg, th, p, cfg.step_size, lf_keys[i]
+                vg, th, p, cfg.step_size, lf_keys[i + 1]
             )
         h0 = lp0[0] - 0.5 * jnp.sum(p0 * p0)
         h1 = lp1[0] - 0.5 * jnp.sum(p[0] * p[0])
@@ -155,7 +157,8 @@ def _make_mp_hmc(target: Target, cfg: MPHMCConfig):
         # reversal point: steps with index >= ranint flip sign
         # (cifar_MPhmc.py:103-108; ranint = int(uniform(1, N+1)))
         ranint = jax.random.randint(k_rev, (), 1, N + 1)
-        lp0, _ = vg(theta[None, :], k_t)
+        step_keys = jax.random.split(k_t, N + 1)
+        lp0, _ = vg(theta[None, :], step_keys[0])
 
         def body(carry, inp):
             th, p = carry
@@ -170,7 +173,7 @@ def _make_mp_hmc(target: Target, cfg: MPHMCConfig):
         (_, _), (traj, lps, kes) = jax.lax.scan(
             body,
             (theta[None, :], p0[None, :]),
-            (jnp.arange(N), jax.random.split(k_t, N)),
+            (jnp.arange(N), step_keys[1:]),
         )
         # states 0..N: index 0 = current
         Y = jnp.concatenate([theta[None, :], traj], axis=0)

@@ -32,7 +32,7 @@ def test_leapfrog_energy_conservation():
     h0 = lp0[0] - 0.5 * jnp.sum(p * p)
     th, pp = theta, p
     for _ in range(100):
-        th, pp, lp, _ = hmc._leapfrog(vg, th, pp, 0.01)
+        th, pp, lp, _ = hmc._leapfrog(vg, th, pp, 0.01, jax.random.key(0))
     h1 = lp[0] - 0.5 * jnp.sum(pp * pp)
     assert abs(float(h1 - h0)) < 1e-3
 
@@ -42,8 +42,8 @@ def test_leapfrog_reversibility():
     vg = hmc._value_and_grad_batch(target)
     theta = jnp.array([[0.5, -1.0, 0.2]])
     p = jnp.array([[0.3, 0.6, -0.1]])
-    th, pp, _, _ = hmc._leapfrog(vg, theta, p, 0.1)
-    back, pb, _, _ = hmc._leapfrog(vg, th, -pp, 0.1)
+    th, pp, _, _ = hmc._leapfrog(vg, theta, p, 0.1, jax.random.key(1))
+    back, pb, _, _ = hmc._leapfrog(vg, th, -pp, 0.1, jax.random.key(2))
     np.testing.assert_allclose(np.asarray(back), np.asarray(theta), atol=1e-5)
     np.testing.assert_allclose(np.asarray(-pb), np.asarray(p), atol=1e-5)
 
