@@ -129,6 +129,7 @@ class SamplerSpec:
                 target,
                 PMPHMCConfig(
                     depth=self.depth,
+                    N=self.N,
                     step_size=self.step_size,
                     mom_scale=self.mom_scale,
                     rule=self.rule if self.rule is not None else "barker",

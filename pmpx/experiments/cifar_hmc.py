@@ -36,10 +36,13 @@ def run(
     out_dir: str = "results/cifar",
     scale: str = "smoke",
     warm_start: str = "",
+    class_sep: float = 1.5,
 ):
     if scale == "paper":
         n_train, n_test = 50000, 10000
-    x_tr, y_tr, x_te, y_te = load_cifar10(n_train=n_train, n_test=n_test)
+    x_tr, y_tr, x_te, y_te = load_cifar10(
+        n_train=n_train, n_test=n_test, class_sep=class_sep
+    )
     target = NNPosterior(
         LeNet(), x_tr, y_tr, init_key=jax.random.key(seed)
     )
@@ -54,9 +57,11 @@ def run(
     else:
         theta0 = pretrain(target, pretrain_steps)
 
+    # the reference's "N" means N+1 speculative states; its PMP-HMC tree
+    # is always binary (one leapfrog child per node, depth log2(N+1))
     spec = SamplerSpec(
         algo=algo,
-        N=N,
+        N=1 if algo == "pmp_hmc" else N,
         depth=tree.binary_depth(N + 1),
         step_size=step_size,
         mom_scale=mom_scale,

@@ -206,8 +206,22 @@ def _make_mp_hmc(target: Target, cfg: MPHMCConfig):
 
 @dataclasses.dataclass(frozen=True)
 class PMPHMCConfig:
+    """PMP-HMC speculation tree.
+
+    ``N`` is the leapfrog-children-per-node branching factor.  The
+    reference only ever builds binary trees (``N=1``,
+    ``cifar_PMPhmc.py:114-171``); general ``N`` is a pmpx extension: at
+    every level each sibling group of ``N`` fresh-momentum leapfrog
+    candidates forms one mixture-of-kernels decision (pick a candidate
+    uniformly, accept with its own per-edge Hamiltonian rule), which
+    reduces exactly to the reference's pairwise rules at ``N=1`` and
+    satisfies per-level detailed balance for ``barker``/``mh_clamp`` at
+    any ``N``.
+    """
+
     depth: int
     step_size: float
+    N: int = 1
     mom_scale: float = 1.0
     rule: str = "barker"  # | "mh_clamp" | "barker_clamp"
     stabilizer: str = "none"
@@ -219,25 +233,46 @@ class PMPHMCConfig:
             raise ValueError(f"unknown PMP-HMC rule {self.rule!r}")
         if self.selection not in ("single", "all_uniform", "all_first"):
             raise ValueError(f"unknown selection {self.selection!r}")
+        if self.N < 1:
+            raise ValueError(f"N must be >= 1, got {self.N}")
+        if self.depth < 1:
+            raise ValueError(f"depth must be >= 1, got {self.depth}")
 
     @property
     def P(self) -> int:
-        return 2**self.depth
+        return (self.N + 1) ** self.depth
 
 
 def _make_pmp_hmc(target: Target, cfg: PMPHMCConfig):
+    """General (N, depth) PMP-HMC speculation tree.
+
+    Topology is the mixed-radix tree of ``pmpx.tree`` (node x at level i
+    belongs to sibling group ``x mod (N+1)**i`` as member ``c_i(x)``).
+    Generation at level i batches ALL N*temp leapfrog edges in one vg
+    call; the children land in the contiguous slice
+    ``[temp, (N+1)*temp)`` in (member, group) order, so neither
+    generation nor the tree walk needs a single gather: the per-level
+    acceptance factors broadcast onto ``logA`` via a
+    ``(P/(temp*(N+1)), N+1, temp)`` reshape.
+
+    Per-level rule (x's group at level c, children y_1..y_N with edge
+    momenta p_j):
+      a_j = accept(H(y_j, p_j') - H(parent, p_j))   per cfg.rule
+      P(member j) = a_j / N,   P(member 0) = 1 - sum_j a_j / N
+    — a uniform mixture of N single-edge MH/Barker kernels, so each
+    level decision is exactly reversible; at N=1 this reproduces the
+    reference's binary pairwise factors (``cifar_PMPhmc.py:94-102``
+    for mh_clamp, ``main.py:84-99`` for barker_clamp) bit-for-bit.
+    ``barker_clamp``'s parent mass is the reference's quirky
+    ``max(0, 1 - w_old/w_new)`` (doesn't complement the child mass);
+    it generalizes as the mean of the per-edge quirk masses.
+    """
     vg = _value_and_grad_batch(target)
     D = cfg.depth
-    P = 2**D
+    N = cfg.N
+    base = N + 1
+    P = base**D
     d = target.d
-
-    # static per-level member/partner decode: member = x & (2^(c+1)-1),
-    # partner = member ^ 2^c (the judg-loop semantics, cifar_PMPhmc.py:83-93)
-    xs = np.arange(P)
-    member = np.stack([xs & (2 ** (c + 1) - 1) for c in range(D)])  # (D, P)
-    partner = np.stack([member[c] ^ (2**c) for c in range(D)])
-    member_j = jnp.asarray(member)
-    partner_j = jnp.asarray(partner)
 
     def superstep(key, theta):
         k_mom, k_draw, k_root, k_t = jax.random.split(key, 4)
@@ -252,64 +287,68 @@ def _make_pmp_hmc(target: Target, cfg: PMPHMCConfig):
 
         mom_keys = jax.random.split(k_mom, D)
         for i in range(D):
-            m = 2**i  # nodes 0..m-1 exist; children are k + m
-            parents = Y[:m]
+            temp = base**i  # nodes 0..temp-1 exist
+            # children of level i: index (j+1)*temp + k for member j+1,
+            # group k — i.e. the contiguous slice [temp, base*temp) in
+            # (member, group) order after tiling parents N times
+            parents = jnp.tile(Y[:temp], (N, 1))
+            g_par = jnp.tile(G[:temp], (N, 1))
             p0 = cfg.mom_scale * jax.random.normal(
-                mom_keys[i], (m, d), theta.dtype
+                mom_keys[i], (N * temp, d), theta.dtype
             )
             # leapfrog using the cached parent gradient
-            p_half = p0 + 0.5 * cfg.step_size * G[:m]
+            p_half = p0 + 0.5 * cfg.step_size * g_par
             child = parents + cfg.step_size * p_half
             lp_c, g_c = vg(child, t_keys[i])
             p_fin = p_half + 0.5 * cfg.step_size * g_c
 
-            sl = slice(m, 2 * m)
+            sl = slice(temp, base * temp)
             Y = Y.at[sl].set(child)
             logpi = logpi.at[sl].set(lp_c)
             G = G.at[sl].set(g_c)
             ke_init = ke_init.at[sl].set(0.5 * jnp.sum(p0 * p0, axis=-1))
             ke_fin = ke_fin.at[sl].set(0.5 * jnp.sum(p_fin * p_fin, axis=-1))
 
-        # tree-walk acceptance
+        # tree-walk acceptance, gather-free
         logA = jnp.zeros((P,), theta.dtype)
+        tiny = jnp.asarray(1e-30, theta.dtype)
         for c in range(D):
-            j = member_j[c]  # (P,)
-            q = partner_j[c]
-            child = jnp.maximum(j, q)  # the edge's child node
-            j_is_parent = j < q
-            # Hamiltonian log-weights: parent side carries the edge's
-            # initial kinetic energy, child side the evolved one
-            lw_j = logpi[j] - jnp.where(
-                j_is_parent, ke_init[child], ke_fin[child]
-            )
-            lw_q = logpi[q] - jnp.where(
-                j_is_parent, ke_fin[child], ke_init[child]
-            )
+            temp = base**c
+            # per-edge Hamiltonian difference for the level-c children:
+            # child j of group h sits at (j+1)*temp + h
+            lp_par = logpi[:temp]  # (temp,)
+            blk = slice(temp, base * temp)
+            lp_ch = logpi[blk].reshape(N, temp)
+            kei = ke_init[blk].reshape(N, temp)
+            kef = ke_fin[blk].reshape(N, temp)
+            dh = (lp_ch - kef) - (lp_par[None, :] - kei)  # (N, temp)
             if cfg.rule == "barker":
-                logA = logA + lw_j - jnp.logaddexp(lw_j, lw_q)
-            elif cfg.rule == "mh_clamp":
-                # cifar_PMPhmc.py:94-102
-                r = jnp.exp(lw_q - lw_j)
-                factor = jnp.where(
-                    j_is_parent,
-                    jnp.maximum(0.0, 1.0 - r),
-                    jnp.minimum(1.0, 1.0 / jnp.maximum(r, 1e-30)),
-                )
-                logA = logA + jnp.log(factor)
-            else:  # barker_clamp, main.py:84-99
-                r = jnp.exp(lw_q - lw_j)  # w_old / w_new
-                s = 1.0 / jnp.maximum(r, 1e-30)  # w_new / w_old
-                wn = jnp.where(
-                    j_is_parent,
-                    jnp.maximum(0.0, 1.0 - r),
-                    jnp.minimum(1.0, s),
-                )
-                wo = jnp.where(
-                    j_is_parent,
-                    jnp.minimum(1.0, r),
-                    jnp.maximum(0.0, 1.0 - s),
-                )
-                logA = logA + jnp.log(wn) - jnp.log(wn + wo)
+                la = jax.nn.log_sigmoid(dh)  # log child masses, exact
+                if N == 1:
+                    lparent = jax.nn.log_sigmoid(-dh)[0]
+                else:
+                    lparent = jnp.log(jnp.maximum(
+                        1.0 - jnp.sum(jnp.exp(la), axis=0) / N, tiny
+                    ))
+            else:
+                # mh_clamp (cifar_PMPhmc.py:94-102).  barker_clamp
+                # (main.py:84-99) clamps to the same masses and then
+                # Barker-normalizes — but the normalizer is identically 1
+                # (min(1,s) + max(0,1-s) == 1 for all s), so the two
+                # reference rules coincide numerically.
+                la = jnp.minimum(0.0, dh)
+                lparent = jnp.log(jnp.maximum(
+                    1.0 - jnp.sum(jnp.exp(la), axis=0) / N, tiny
+                ))
+            # factor table f[m, h] for member m of group h at this level
+            f = jnp.concatenate(
+                [lparent[None, :], la - jnp.log(float(N))], axis=0
+            )  # (base, temp)
+            # node x = q*(base*temp) + m*temp + h picks f[m, h]:
+            # broadcast over the higher-digit axis q via reshape
+            logA = (
+                logA.reshape(-1, base, temp) + f[None, :, :]
+            ).reshape(P)
 
         logits = stabilize_logits(logA, cfg.stabilizer, cfg.nan_guard)
         theta2, samples, root = select_and_emit(
