@@ -50,7 +50,8 @@ def run(
 ):
     data_sizes = as_tuple(data_sizes)
     Ps = as_tuple(Ps)
-    if method == "sweep":
+    fused_chain = method == "fused_chain"
+    if method == "sweep" or fused_chain:
         method = "pallas" if jax.default_backend() == "tpu" else "xla"
     out = {}
     rows = []
@@ -71,18 +72,34 @@ def run(
                         algo="mp", N=P - 1, step_size=0.02,
                         selection="all_first",
                     )
-                superstep = spec.build(target)
-                f = jax.jit(
-                    lambda k, t, s=superstep: run_chain(
-                        s, k, t, iters,
-                        collect=lambda th, o: o["root_index"],
-                    )
+                from pmpx.kernels import fused_chain as fc
+                from pmpx.samplers.pmp import PMPConfig
+
+                cfg = PMPConfig(
+                    N=1 if algo == "pmp" else P - 1,
+                    depth=tree.binary_depth(P) if algo == "pmp" else 1,
+                    step_size=0.02, selection="all_first",
                 )
-                f(jax.random.key(1), theta0)[1].block_until_ready()
+                if fused_chain and fc.supports(cfg):
+                    # whole chain chunks inside one Pallas kernel: erases
+                    # the small-P op-launch floor (see kernels/fused_chain)
+                    runk = fc.make_fused_chain(
+                        target, cfg, chunk=min(1000, iters)
+                    )
+                    f = lambda k, t: runk(k, t, iters)  # noqa: E731
+                else:
+                    superstep = spec.build(target)
+                    f = jax.jit(
+                        lambda k, t, s=superstep: run_chain(
+                            s, k, t, iters,
+                            collect=lambda th, o: o["root_index"],
+                        )[1]
+                    )
+                f(jax.random.key(1), theta0).block_until_ready()
                 best = float("inf")
                 for r in range(3):
                     t0 = time.perf_counter()
-                    f(jax.random.key(2 + r), theta0)[1].block_until_ready()
+                    f(jax.random.key(2 + r), theta0).block_until_ready()
                     best = min(
                         best, (time.perf_counter() - t0) / iters * 1e6
                     )

@@ -1,0 +1,294 @@
+"""Whole-chain Pallas megakernel for small-P MP/PMP over Bayesian linreg.
+
+Motivation (VERDICT r1): at small P the superstep's device time is an
+op-launch floor — ~75 fused micro-ops of 0.2-0.8 us each (~14 us/iter at
+P=4/n=500) — while the actual arithmetic is sub-microsecond.  The
+reference's counterpart cost is worse (per-iteration H2D/D2H + kernel
+launch, README.md:39-48), but the XLA scan still pays one launch per op
+rather than per superstep.  This kernel erases the floor by running an
+ENTIRE CHUNK OF THE CHAIN inside one ``pallas_call``: proposal-tree
+generation (in-kernel PRNG, Box-Muller), likelihood, tree-walk weights,
+categorical selection, and the parameter trace all live in
+VMEM/registers for hundreds of supersteps per launch.
+
+Layout: parameters on sublanes (rows 0..2 of an (8, 128) tile: beta0,
+beta1, sigma), tree nodes on lanes — so every per-node op is one native
+VPU tile op, and every structural operation (root->node path sums, the
+binary walk's ancestor/partner selection, the resampling CDF) is a
+matmul with a trace-time constant 0/1 matrix on the MXU.  No gathers, no
+dynamic stores: the per-iteration trace accumulates via a broadcast
+one-hot product.
+
+Supported configs: binary prefetching trees (N=1, depth<=7, P=2^D<=128)
+and flat MP (depth=1, N+1<=128), selection by one categorical draw (the
+root path of every reference selection mode), stabilizer "none".
+The in-kernel PRNG stream differs from jax.random, so agreement with the
+XLA path is statistical (tested) rather than bitwise.
+
+Reference counterparts: the per-iteration host loops of
+``conv_mp.cu:180-264`` / ``500_MP.cu`` / ``500_PMP.cu`` — the cells where
+launch+transfer overhead dominates the A100 numbers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pmpx import tree as tree_mod
+
+__all__ = ["supports", "make_fused_chain"]
+
+_LANES = 128
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def supports(cfg) -> bool:
+    """Whether this kernel implements cfg's sampler exactly."""
+    P = (cfg.N + 1) ** cfg.depth
+    return (
+        P <= _LANES
+        and (cfg.N == 1 or cfg.depth == 1)
+        and cfg.stabilizer == "none"
+    )
+
+
+def _pad_grid(v: np.ndarray) -> jnp.ndarray:
+    n = v.shape[0]
+    rows = -(-n // _LANES)
+    out = np.zeros((rows, _LANES), np.float32)
+    out.reshape(-1)[:n] = v
+    return jnp.asarray(out)
+
+
+def _uniform(shape):
+    """(0, 1] uniforms from raw PRNG bits (mantissa fill)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    f = pltpu.bitcast(
+        jax.lax.shift_right_logical(bits, 9) | jnp.int32(0x3F800000),
+        jnp.float32,
+    )  # [1, 2)
+    return 2.0 - f  # (0, 1]
+
+
+def _dot(a, b):
+    return jnp.dot(
+        a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chain_kernel(
+    seed_ref, theta0_ref, xg_ref, yg_ref, pmT_ref, selT_ref, parT_ref,
+    cumT_ref, uin_ref, trace_ref, *,
+    steps, P, depth, N, n_data, temper, step_size, trans_sigma,
+    trans_norm, mode, rng,
+):
+    if rng == "kernel":
+        pltpu.prng_seed(seed_ref[0])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    valid = (lane < P).astype(jnp.float32)  # (1, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    row_valid = (row < 3).astype(jnp.float32)  # params live in rows 0..2
+    lane0 = (lane == 0).astype(jnp.float32)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, steps), 1)
+
+    # data sufficient statistics: the sums below are loop-invariant, so
+    # Mosaic hoists them — one streaming pass over the (rows, 128) grids
+    # per CHUNK (the padded tail is zero, so sums are exact).  This is the
+    # in-kernel form of the target's "suffstats" strategy, algebraically
+    # identical to the O(P*n) sweep.
+    xg = xg_ref[...]
+    yg = yg_ref[...]
+
+    def step(t, carry):
+        theta, trace = carry  # (8, 1), (8, steps)
+        if rng == "kernel":
+            u1 = _uniform((8, _LANES))
+            u2 = _uniform((8, _LANES))
+            usel = _uniform((1, _LANES))
+        else:
+            # injected uniforms: 17 rows per step (8 + 8 + 1) — the
+            # testable path (interpret mode stubs the hardware PRNG)
+            u1 = uin_ref[pl.ds(t * 17, 8), :]
+            u2 = uin_ref[pl.ds(t * 17 + 8, 8), :]
+            usel = uin_ref[pl.ds(t * 17 + 16, 1), :]
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+        eps = step_size * z * valid * row_valid
+        # root->node path sums: Y[p, x] = theta[p] + sum_a PM[x,a] eps[p,a]
+        Y = theta + _dot(eps, pmT_ref[...])  # (8, 128)
+
+        sx = jnp.sum(xg)
+        sy = jnp.sum(yg)
+        sxx = jnp.sum(xg * xg)
+        syy = jnp.sum(yg * yg)
+        sxy = jnp.sum(xg * yg)
+        b0 = Y[0:1, :]
+        b1 = Y[1:2, :]
+        sg = Y[2:3, :]
+        rss = (
+            syy + n_data * b0 * b0 + b1 * b1 * sxx
+            + 2.0 * b0 * b1 * sx - 2.0 * b0 * sy - 2.0 * b1 * sxy
+        )
+        s2 = jnp.maximum(sg * sg, 1e-30)
+        logpi = temper * (
+            -0.5 * n_data * (_LOG_2PI + jnp.log(s2)) - rss / (2.0 * s2)
+        )  # (1, 128)
+        logpi_mm = logpi * valid  # zero on dead lanes (matmul-safe)
+
+        if mode == "binary":
+            # per level: factor = log sigmoid(logpi[anc] - logpi[partner])
+            logA = jnp.zeros((1, _LANES), jnp.float32)
+            for i in range(depth):
+                sel = _dot(logpi_mm, selT_ref[i])
+                par = _dot(logpi_mm, parT_ref[i])
+                logA = logA + jax.nn.log_sigmoid(sel - par)
+        else:
+            # flat MTM: lw_j = logpi_j + sum_{k!=j} log K(Y_j -> Y_k); the
+            # per-pair constant is uniform across j and cancels in the
+            # group normalization, leaving the pairwise distances
+            # sum_k ||Yj - Yk||^2 = P ||Yj||^2 - 2 Yj.S + Q  (O(P d))
+            sq = jnp.sum(Y * Y, axis=0, keepdims=True)  # (1, 128)
+            S = jnp.sum(Y * valid, axis=1, keepdims=True)  # (8, 1)
+            Q = jnp.sum(sq * valid)
+            cross = jnp.sum(Y * S, axis=0, keepdims=True)  # (1, 128)
+            sum_d2 = P * sq - 2.0 * cross + Q
+            lw = logpi - sum_d2 / (2.0 * trans_sigma * trans_sigma
+                                   * trans_norm)
+            m = jnp.max(jnp.where(lane < P, lw, -1e30))
+            logA = lw - (m + jnp.log(jnp.sum(jnp.exp(lw - m) * valid)))
+
+        # one categorical draw (the root path of every selection mode)
+        zmax = jnp.max(jnp.where(lane < P, logA, -1e30))
+        w = jnp.exp(logA - zmax) * valid  # (1, 128)
+        cdf = _dot(w, cumT_ref[...])  # inclusive prefix sums
+        u = jnp.sum(usel * lane0) * jnp.sum(w)
+        onehot = jnp.logical_and(cdf - w < u, cdf >= u).astype(jnp.float32)
+        theta2 = jnp.sum(Y * onehot * valid, axis=1, keepdims=True)
+        trace2 = trace + theta2 * (t_iota == t).astype(jnp.float32)
+        return theta2, trace2
+
+    theta0 = theta0_ref[...][:, 0:1] * row_valid
+    _, trace = jax.lax.fori_loop(
+        0, steps, step, (theta0, jnp.zeros((8, steps), jnp.float32))
+    )
+    trace_ref[...] = trace
+
+
+def make_fused_chain(
+    target, cfg, *, chunk: int = 512, interpret=False, rng: str = "kernel"
+):
+    """Build ``run(key, theta0, num_steps) -> trace (num_steps, 3)``.
+
+    ``target`` must be a BayesLinReg; ``cfg`` a PMPConfig satisfying
+    ``supports(cfg)``.  The chain runs ``num_steps`` supersteps in
+    ``ceil(num_steps/chunk)`` kernel launches under one jit; the returned
+    trace row t is the chain state after superstep t (the root path —
+    reference ``conv_*.cu`` logs exactly this).
+
+    ``rng="kernel"`` (production) draws uniforms from the in-kernel
+    hardware PRNG; ``rng="input"`` injects jax.random uniforms from the
+    host — bit-exactly testable against a NumPy oracle, incl. on CPU in
+    interpret mode where the hardware PRNG is stubbed.
+    """
+    if not supports(cfg):
+        raise ValueError(f"fused chain does not support {cfg}")
+    if interpret is False and jax.default_backend() != "tpu":
+        # non-TPU fallback: interpret mode stubs the hardware PRNG to
+        # zeros, so switch to host-injected uniforms (slower, same math)
+        interpret = pltpu.InterpretParams()
+        if rng == "kernel":
+            rng = "input"
+    P = (cfg.N + 1) ** cfg.depth
+    mode = "binary" if cfg.N == 1 else "mp"
+    topo = tree_mod.topology(cfg.N, cfg.depth)
+
+    pmT = np.zeros((_LANES, _LANES), np.float32)
+    pmT[:P, :P] = topo.path_matrix.T
+    selT = np.zeros((max(cfg.depth, 1), _LANES, _LANES), np.float32)
+    parT = np.zeros_like(selT)
+    if mode == "binary":
+        xs = np.arange(P)
+        for i in range(cfg.depth):
+            anc = xs & (2 ** (i + 1) - 1)
+            part = anc ^ (2**i)
+            selT[i, anc, xs] = 1.0
+            parT[i, part, xs] = 1.0
+    cumT = np.triu(np.ones((_LANES, _LANES), np.float32))
+
+    xg = _pad_grid(np.asarray(target.x, np.float32))
+    yg = _pad_grid(np.asarray(target.y, np.float32))
+    rows = xg.shape[0]
+
+    trans_norm = cfg.trans_normalize_by
+    if trans_norm == 0:
+        trans_norm = float(target.d)
+
+    def one_chunk(seed, theta0, uin, steps):
+        kern = functools.partial(
+            _chain_kernel,
+            steps=steps, P=P, depth=cfg.depth, N=cfg.N,
+            n_data=float(target.n), temper=float(target.temper),
+            step_size=float(cfg.step_size),
+            trans_sigma=float(cfg.trans_sigma),
+            trans_norm=float(trans_norm), mode=mode, rng=rng,
+        )
+        return pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, steps), jnp.float32),
+            interpret=interpret,
+        )(
+            seed, theta0, xg, yg, jnp.asarray(pmT), jnp.asarray(selT),
+            jnp.asarray(parT), jnp.asarray(cumT), uin,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("num_steps",))
+    def run(key, theta0, num_steps: int):
+        n_chunks = -(-num_steps // chunk)
+        k_seed, k_u = jax.random.split(key)
+        seeds = jax.random.randint(
+            k_seed, (n_chunks, 1), 0, np.iinfo(np.int32).max, jnp.int32
+        )
+        if rng == "input":
+            # uniforms in (0, 1]: 17 rows of 128 lanes per superstep
+            uin = 1.0 - jax.random.uniform(
+                k_u, (n_chunks, chunk * 17, _LANES), jnp.float32
+            )
+        else:
+            uin = jnp.zeros((n_chunks, 1, _LANES), jnp.float32)
+        th0 = jnp.zeros((8, _LANES), jnp.float32)
+        th0 = th0.at[:3, 0].set(theta0.astype(jnp.float32))
+
+        def body(carry, inp):
+            seed, u = inp
+            tr = one_chunk(seed, carry, u, chunk)  # (8, chunk)
+            th = jnp.zeros((8, _LANES), jnp.float32).at[:, 0].set(
+                tr[:, -1]
+            )
+            return th, tr
+
+        _, traces = jax.lax.scan(body, th0, (seeds, uin))
+        # (n_chunks, 8, chunk) -> (n_chunks*chunk, 3)
+        out = jnp.transpose(traces, (0, 2, 1)).reshape(-1, 8)[:, :3]
+        return out[:num_steps]
+
+    return run

@@ -24,14 +24,17 @@ def main():
     for model in ("FC", "CNN", "LSTM"):
         for algo in ("mh", "mp", "pmp"):
             t0 = time.time()
+            # weak warm start (like the reference's half-trained pkls) +
+            # hard class separation: the SAMPLER does the optimization,
+            # so per-iteration convergence discriminates MH/MP/PMP
             out = mnist.run(
                 model=model,
                 algo=algo,
                 num_steps=2000,
                 n_train=4096,
                 n_test=1024,
-                pretrain_steps=300,
-                class_sep=0.5,
+                pretrain_steps=15,
+                class_sep=0.35,
                 out_dir=f"{out_root}/mnist_zoo",
             )
             out.update(model=model, algo=algo, wall_s=time.time() - t0)
@@ -40,6 +43,9 @@ def main():
     with open(f"{out_root}/mnist_zoo/summary.json", "w") as f:
         json.dump(rows, f, indent=1)
 
+    import os
+    if os.environ.get("PMPX_ZOO_SKIP_CIFAR") == "1":
+        return
     rows = []
     for algo in ("sp_hmc", "mp_hmc", "pmp_hmc"):
         t0 = time.time()

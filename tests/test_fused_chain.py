@@ -1,0 +1,126 @@
+"""Fused chain-in-kernel megakernel: exact math validation.
+
+The production kernel draws from the on-core hardware PRNG (not runnable
+under the CPU interpreter, which stubs it to zeros), so correctness is
+proven on the ``rng="input"`` path: identical host-supplied uniforms feed
+both the Pallas kernel (interpret mode) and a NumPy step-by-step oracle;
+every superstep of the trace must agree.  This validates positions
+(path-matrix matmul), likelihood (suffstats), the binary walk, the flat
+MTM weights, and the inverse-CDF selection — everything except the PRNG
+itself, which is validated statistically on real TPU
+(``artifacts/time/fused_chain*``)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pmpx import tree as tree_mod
+from pmpx.kernels import fused_chain as fc
+from pmpx.samplers.pmp import PMPConfig
+from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def oracle(target, cfg, uin, theta0, num_steps, chunk):
+    P = (cfg.N + 1) ** cfg.depth
+    topo = tree_mod.topology(cfg.N, cfg.depth)
+    PM = topo.path_matrix[:P, :P]  # (P, P)
+    xs = np.arange(P)
+
+    x64 = np.asarray(target.x, np.float64)
+    y64 = np.asarray(target.y, np.float64)
+    sx, sy = x64.sum(), y64.sum()
+    sxx, syy, sxy = (x64 * x64).sum(), (y64 * y64).sum(), (x64 * y64).sum()
+    n = target.n
+    temper = target.temper
+    norm = cfg.trans_normalize_by or 3.0
+
+    theta = np.asarray(theta0, np.float64)
+    trace = np.zeros((num_steps, 3))
+    for t in range(num_steps):
+        c, tt = divmod(t, chunk)
+        u1 = np.asarray(uin[c, tt * 17: tt * 17 + 8], np.float64)[:3, :P]
+        u2 = np.asarray(
+            uin[c, tt * 17 + 8: tt * 17 + 16], np.float64
+        )[:3, :P]
+        usel = float(uin[c, tt * 17 + 16, 0])
+        z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * math.pi * u2)
+        eps = cfg.step_size * z  # (3, P)
+        Y = theta[:, None] + eps @ PM.T  # (3, P)
+        b0, b1, sg = Y
+        rss = (
+            syy + n * b0 * b0 + b1 * b1 * sxx
+            + 2 * b0 * b1 * sx - 2 * b0 * sy - 2 * b1 * sxy
+        )
+        s2 = np.maximum(sg * sg, 1e-30)
+        logpi = temper * (-0.5 * n * (LOG_2PI + np.log(s2)) - rss / (2 * s2))
+        if cfg.N == 1:
+            logA = np.zeros(P)
+            for i in range(cfg.depth):
+                anc = xs & (2 ** (i + 1) - 1)
+                part = anc ^ (2**i)
+                dh = logpi[anc] - logpi[part]
+                logA = logA - np.logaddexp(0.0, -dh)  # log sigmoid
+        else:
+            sq = (Y * Y).sum(0)
+            S = Y.sum(1)
+            Q = sq.sum()
+            sum_d2 = P * sq - 2.0 * (Y * S[:, None]).sum(0) + Q
+            lw = logpi - sum_d2 / (2 * cfg.trans_sigma**2 * norm)
+            m = lw.max()
+            logA = lw - (m + np.log(np.exp(lw - m).sum()))
+        w = np.exp(logA - logA.max())
+        cdf = np.cumsum(w)
+        u = usel * w.sum()
+        idx = int(np.searchsorted(cdf, u, side="left"))
+        idx = min(idx, P - 1)
+        theta = Y[:, idx]
+        trace[t] = theta
+    return trace
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        PMPConfig(N=1, depth=2, step_size=0.05, selection="all_first"),
+        PMPConfig(N=1, depth=5, step_size=0.05, selection="all_first"),
+        PMPConfig(N=7, depth=1, step_size=0.05, selection="all_first"),
+        PMPConfig(N=31, depth=1, step_size=0.05, selection="all_first"),
+    ],
+    ids=["binary-P4", "binary-P32", "mp-P8", "mp-P32"],
+)
+def test_fused_chain_matches_numpy_oracle(cfg):
+    x, y = make_synthetic_linreg(jax.random.key(0), 1000)
+    target = BayesLinReg(x, y, temper=0.05, method="fused")
+    chunk, steps = 16, 48
+    run = fc.make_fused_chain(
+        target, cfg, chunk=chunk, rng="input",
+        interpret=pltpu.InterpretParams(),
+    )
+    key = jax.random.key(3)
+    theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    got = np.asarray(run(key, theta0, steps))
+
+    # regenerate the exact injected uniforms the run used
+    n_chunks = -(-steps // chunk)
+    _, k_u = jax.random.split(key)
+    uin = 1.0 - np.asarray(
+        jax.random.uniform(k_u, (n_chunks, chunk * 17, 128), jnp.float32)
+    )
+    want = oracle(target, cfg, uin, theta0, steps, chunk)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_supports_predicate():
+    ok = PMPConfig(N=1, depth=7, step_size=0.1)
+    assert fc.supports(ok)
+    assert not fc.supports(PMPConfig(N=1, depth=8, step_size=0.1))  # P=256
+    assert not fc.supports(PMPConfig(N=3, depth=2, step_size=0.1))
+    assert not fc.supports(
+        PMPConfig(N=1, depth=3, step_size=0.1, stabilizer="zscore")
+    )
