@@ -59,11 +59,15 @@ def resume_chain(
     total_steps: int,
     collect=None,
     checkpoint_every: Optional[int] = None,
+    on_chunk=None,
 ):
     """Run a chain to ``total_steps``, resuming from ``path`` if it exists.
 
     The per-step key is ``fold_in(base_key, step)`` so a resumed run
     reproduces exactly the keys an uninterrupted run would have used.
+    ``on_chunk(start_step, recs)``, if given, is called after each chunk
+    *before* the checkpoint is written: a crash between the two at worst
+    re-runs one chunk, whose deterministic records overwrite identically.
     Returns (theta, records list).
     """
     if os.path.exists(path):
@@ -98,7 +102,10 @@ def resume_chain(
         if n != chunk:
             f = make_runner(n)
         theta, recs = f(jnp.asarray(step, jnp.uint32), theta)
-        recs_all.append(jax.tree.map(np.asarray, recs))
+        recs = jax.tree.map(np.asarray, recs)
+        recs_all.append(recs)
+        if on_chunk is not None:
+            on_chunk(step, recs)
         step += n
         save_checkpoint(path, theta, base_key, step)
     return theta, recs_all

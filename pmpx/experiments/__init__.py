@@ -35,4 +35,6 @@ EXPERIMENTS = [
     "cifar_hmc",
     "bnn",
     "multichain",
+    "nn_perf",
+    "resilience",
 ]

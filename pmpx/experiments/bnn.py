@@ -52,13 +52,19 @@ def run(
     )
     superstep = spec.build(target)
 
-    def collect(theta, out):
-        loss = -target.log_prob(theta, key=jax.random.key(123))
-        return loss, theta[:10]
+    @jax.jit
+    def run_fn(k, t, X):
+        # dataset as a jit argument (not an embedded HLO constant)
+        with target.bound_data(X):
+            def collect(theta, out):
+                loss = -target.log_prob(theta, key=jax.random.key(123))
+                return loss, theta[:10]
 
-    _, (losses, traj) = jax.jit(
-        lambda k, t: run_chain(superstep, k, t, num_steps, collect=collect)
-    )(jax.random.key(seed + 1), theta0)
+            return run_chain(
+                superstep, k, t, num_steps, collect=collect
+            )
+
+    _, (losses, traj) = run_fn(jax.random.key(seed + 1), theta0, x_tr)
     arrays = {
         "loss": np.asarray(losses),
         "trajectory10": np.asarray(traj),

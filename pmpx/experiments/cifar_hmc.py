@@ -18,7 +18,7 @@ from pmpx.config import SamplerSpec
 from pmpx.data import load_cifar10
 from pmpx.experiments.mnist import pretrain
 from pmpx.metrics.recorder import save_trace
-from pmpx.models import LeNet
+from pmpx.models import LeNet, PackedLeNet
 from pmpx.samplers.base import run_chain
 from pmpx.targets.nn import NNPosterior
 
@@ -37,14 +37,22 @@ def run(
     scale: str = "smoke",
     warm_start: str = "",
     class_sep: float = 1.5,
+    layout: str = "packed",
+    proposal_chunk=None,
+    compute_dtype: str = "",
 ):
     if scale == "paper":
         n_train, n_test = 50000, 10000
     x_tr, y_tr, x_te, y_te = load_cifar10(
         n_train=n_train, n_test=n_test, class_sep=class_sep
     )
+    # packed layout (pmpx.models.packed) is what makes full-batch 50k-image
+    # PMP-HMC fit one chip; layout="nhwc" is the plain flax path
+    model = LeNet() if layout == "nhwc" else PackedLeNet()
     target = NNPosterior(
-        LeNet(), x_tr, y_tr, init_key=jax.random.key(seed)
+        model, x_tr, y_tr, init_key=jax.random.key(seed),
+        proposal_chunk=proposal_chunk,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
     )
     if warm_start:
         # seed from a torch checkpoint, e.g. the reference's committed
@@ -70,15 +78,24 @@ def run(
     )
     superstep = spec.build(target)
 
-    def collect(theta, out):
-        loss = -target.log_prob(theta)
-        acc_tr = target.accuracy(theta, x_tr, y_tr)
-        acc_te = target.accuracy(theta, x_te, y_te)
-        return loss, acc_tr, acc_te
+    @jax.jit
+    def run_fn(k, t, X_tr, X_te):
+        # datasets as jit arguments: full-scale CIFAR (600 MB) embedded
+        # as HLO constants exceeds remote-compile transport limits
+        with target.bound_data(X_tr):
+            def collect(theta, out):
+                loss = -target.log_prob(theta)
+                acc_tr = target.accuracy(theta)
+                acc_te = target.accuracy(theta, X_te, y_te)
+                return loss, acc_tr, acc_te
 
-    _, (losses, acc_tr, acc_te) = jax.jit(
-        lambda k, t: run_chain(superstep, k, t, num_steps, collect=collect)
-    )(jax.random.key(seed + 1), theta0)
+            return run_chain(
+                superstep, k, t, num_steps, collect=collect
+            )
+
+    _, (losses, acc_tr, acc_te) = run_fn(
+        jax.random.key(seed + 1), theta0, x_tr, x_te
+    )
     arrays = {
         "loss": np.asarray(losses),
         "train_acc": np.asarray(acc_tr),

@@ -19,14 +19,20 @@ from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_mnist
 from pmpx.metrics.recorder import reference_style_name, save_trace
-from pmpx.models import MnistCNN, MnistLSTM, MnistMLP
+from pmpx.models import MnistCNN, MnistLSTM, MnistMLP, PackedMnistCNN
 from pmpx.samplers.base import run_chain
 from pmpx.targets.nn import NNPosterior
 
+# CNN defaults to the channel-packed executor (pmpx.models.packed):
+# identical params/math, ~6x less activation memory on TPU, which is what
+# lets the proposal axis scale on one chip.  layout="nhwc" restores the
+# plain flax module.
 MODELS = {
-    "FC": lambda: MnistMLP(),
-    "CNN": lambda: MnistCNN(),
-    "LSTM": lambda: MnistLSTM(),
+    "FC": lambda layout: MnistMLP(),
+    "CNN": lambda layout: (
+        MnistCNN() if layout == "nhwc" else PackedMnistCNN()
+    ),
+    "LSTM": lambda layout: MnistLSTM(),
 }
 
 
@@ -37,15 +43,18 @@ def pretrain(target: NNPosterior, steps: int, lr: float = 1e-3):
     opt = optax.adam(lr)
 
     @jax.jit
-    def step(theta, state):
-        loss, g = jax.value_and_grad(lambda t: -target.log_prob(t))(theta)
+    def step(theta, state, X):
+        with target.bound_data(X):
+            loss, g = jax.value_and_grad(
+                lambda t: -target.log_prob(t)
+            )(theta)
         upd, state = opt.update(g, state)
         return optax.apply_updates(theta, upd), state
 
     theta = target.init_theta()
     state = opt.init(theta)
     for _ in range(steps):
-        theta, state = step(theta, state)
+        theta, state = step(theta, state, target.X)
     return theta
 
 
@@ -65,6 +74,7 @@ def run(
     class_sep: float = 1.5,
     proposal_chunk=None,
     warm_start: str = "",
+    layout: str = "packed",
 ):
     if scale == "paper":
         n_train, n_test, num_steps = 60000, 10000, 500000
@@ -72,7 +82,7 @@ def run(
         n_train=n_train, n_test=n_test, class_sep=class_sep
     )
     target = NNPosterior(
-        MODELS[model](), x_tr, y_tr, temper=temper,
+        MODELS[model](layout), x_tr, y_tr, temper=temper,
         init_key=jax.random.key(seed),
         proposal_chunk=proposal_chunk,
     )
@@ -103,12 +113,17 @@ def run(
         )
     superstep = spec.build(target)
 
-    def collect(theta, out):
-        return -target.log_prob(theta) / target.temper  # CE loss
+    @jax.jit
+    def run_fn(k, t, X):
+        # dataset as a jit argument (not an embedded HLO constant)
+        with target.bound_data(X):
+            return run_chain(
+                superstep, k, t, num_steps,
+                collect=lambda th, o: -target.log_prob(th)
+                / target.temper,  # CE loss
+            )
 
-    thetaF, losses = jax.jit(
-        lambda k, t: run_chain(superstep, k, t, num_steps, collect=collect)
-    )(jax.random.key(seed + 1), theta0)
+    thetaF, losses = run_fn(jax.random.key(seed + 1), theta0, x_tr)
     losses = np.asarray(losses)
     acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
     acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))

@@ -14,5 +14,14 @@ from pmpx.models.cnn import MnistCNN
 from pmpx.models.lstm import MnistLSTM
 from pmpx.models.lenet import LeNet
 from pmpx.models.bnn import BayesMLP
+from pmpx.models.packed import PackedLeNet, PackedMnistCNN
 
-__all__ = ["MnistMLP", "MnistCNN", "MnistLSTM", "LeNet", "BayesMLP"]
+__all__ = [
+    "MnistMLP",
+    "MnistCNN",
+    "MnistLSTM",
+    "LeNet",
+    "BayesMLP",
+    "PackedLeNet",
+    "PackedMnistCNN",
+]

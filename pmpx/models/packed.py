@@ -1,0 +1,121 @@
+"""Packed-layout executors for the conv models (drop-in LeNet/MnistCNN).
+
+Same parameters, same math, different physical layout: these shims
+delegate ``init`` to the standard flax module (so parameter pytrees,
+theta vectors, checkpoints, and the torch interop in ``pmpx.interop``
+are bit-compatible with ``LeNet``/``MnistCNN``) but execute the forward
+pass in the channel-packed ``(B, C, H*Wr)`` layout of
+``pmpx.kernels.convpack``, where activations cost ~1.3-2.7x their
+logical size instead of the 6.4x-21x lane padding of NHWC.
+
+That padding is what capped the proposal axis on the image posteriors
+(the reference's flagship workload, ``cifar_PMPhmc.py:126-163``): under
+``vmap`` over P speculative networks every conv activation is multiplied
+by P, so the layout factor directly divides the largest P (or
+``proposal_chunk``) that fits one chip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pmpx.kernels import convpack as cp
+from pmpx.models.cnn import MnistCNN
+from pmpx.models.lenet import LeNet
+
+__all__ = ["PackedLeNet", "PackedMnistCNN"]
+
+
+def _dense(params, x):
+    return x @ params["kernel"] + params["bias"]
+
+
+def lenet_packed_apply(params, x, remat: bool = True):
+    """LeNet forward (``models/lenet.py``) in packed layout.
+
+    x: (B, 32, 32, 3) NHWC -> logits (B, 10).
+    """
+    y, g = cp.pack_images(x)
+    y, g = cp.conv2d(
+        y, params["Conv_0"]["kernel"], params["Conv_0"]["bias"], g,
+        remat=remat,
+    )
+    y = cp.batchnorm(
+        y, params["BatchNorm_0"]["scale"], params["BatchNorm_0"]["bias"], g
+    )
+    y = jnp.maximum(y, 0)
+    y, g = cp.max_pool2(y, g)
+    y, g = cp.conv2d(
+        y, params["Conv_1"]["kernel"], params["Conv_1"]["bias"], g,
+        remat=remat,
+    )
+    y = cp.batchnorm(
+        y, params["BatchNorm_1"]["scale"], params["BatchNorm_1"]["bias"], g
+    )
+    y = jnp.maximum(y, 0)
+    y, g = cp.max_pool2(y, g)
+    h = cp.unpack(y, g).reshape(x.shape[0], -1)  # NHWC flatten order
+    h = jnp.maximum(_dense(params["Dense_0"], h), 0)
+    h = jnp.maximum(_dense(params["Dense_1"], h), 0)
+    return _dense(params["Dense_2"], h)
+
+
+def cnn_packed_apply(params, x, remat: bool = True):
+    """MnistCNN forward (``models/cnn.py``) in packed layout.
+
+    x: (B, 28, 28[, 1]) -> logits (B, 10).
+    """
+    y, g = cp.pack_images(x)
+    y, g = cp.conv2d(
+        y, params["Conv_0"]["kernel"], params["Conv_0"]["bias"], g,
+        remat=remat,
+    )
+    y = jnp.maximum(y, 0)
+    y, g = cp.max_pool2(y, g)
+    y, g = cp.conv2d(
+        y, params["Conv_1"]["kernel"], params["Conv_1"]["bias"], g,
+        remat=remat,
+    )
+    y = jnp.maximum(y, 0)
+    h = cp.unpack(y, g).reshape(x.shape[0], -1)  # (B, 2000) NHWC order
+    h = jnp.maximum(_dense(params["Dense_0"], h), 0)
+    return _dense(params["Dense_1"], h)
+
+
+class _PackedShim:
+    """Quacks like a flax module for ``NNPosterior``: ``init`` delegates to
+    the reference flax model (identical params + aux collections), ``apply``
+    runs the packed executor."""
+
+    _flax_cls = None
+    _apply_fn = None
+
+    def __init__(self, remat: bool = True):
+        self._flax = self._flax_cls()
+        self.remat = remat
+
+    def init(self, rngs, x):
+        return self._flax.init(rngs, x)
+
+    def apply(self, variables, x, mutable=None, **kwargs):
+        out = type(self)._apply_fn(
+            variables["params"], x, remat=self.remat
+        )
+        if mutable:
+            # BatchNorm runs in batch-statistics mode; running averages
+            # are posterior-irrelevant (see models/lenet.py) — return the
+            # aux collections unchanged.
+            return out, {
+                k: v for k, v in variables.items() if k != "params"
+            }
+        return out
+
+
+class PackedLeNet(_PackedShim):
+    _flax_cls = LeNet
+    _apply_fn = staticmethod(lenet_packed_apply)
+
+
+class PackedMnistCNN(_PackedShim):
+    _flax_cls = MnistCNN
+    _apply_fn = staticmethod(cnn_packed_apply)

@@ -20,6 +20,7 @@ Supports:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -92,6 +93,29 @@ class NNPosterior:
         self._unravel = unravel
 
     # ------------------------------------------------------------------
+    @contextmanager
+    def bound_data(self, X, Y=None):
+        """Temporarily rebind the dataset — the trace-time hook that turns
+        ``X`` into a *jit argument* instead of a closure constant.
+
+        Every density method reads ``self.X`` at trace time, so tracing
+        inside ``with target.bound_data(x_tracer):`` threads the data
+        through the compiled program's parameters.  Closure constants are
+        shipped inside the serialized HLO, which at full reference scale
+        (50k CIFAR images = 600 MB) exceeds what remote-compile transports
+        accept — and wastes compile-cache keys on data bytes.
+        """
+        old_x, old_y = self.X, self.Y
+        self.X = X if self.compute_dtype is None else X.astype(
+            self.compute_dtype
+        )
+        if Y is not None:
+            self.Y = Y
+        try:
+            yield self
+        finally:
+            self.X, self.Y = old_x, old_y
+
     def init_theta(self) -> jnp.ndarray:
         """Raveled freshly-initialized parameters (the reference warm-starts
         from pretrained ``.pkl`` checkpoints; see ``theta_from_params``)."""
