@@ -52,7 +52,20 @@ def _mem_stats(target, method_name: str, theta_spec):
             return getattr(target, method_name)(Theta)
 
     x_spec = jax.ShapeDtypeStruct(target.X.shape, target.X.dtype)
-    compiled = jax.jit(g).lower(x_spec, theta_spec).compile()
+    try:
+        compiled = jax.jit(g).lower(x_spec, theta_spec).compile()
+    except Exception as e:  # TPU AOT refuses over-HBM programs outright
+        import re
+
+        m = re.search(
+            r"Used ([\d.]+)G of ([\d.]+)G hbm", str(e)
+        )
+        out = {"compile_oom": True}
+        if m:
+            out["hbm_needed_gib"] = float(m.group(1))
+            out["hbm_capacity_gib"] = float(m.group(2))
+            out["peak_gib"] = float(m.group(1))
+        return out
     mem = compiled.memory_analysis()
     out = {}
     for k in (
@@ -81,7 +94,9 @@ def _lenet_target(layout: str, x, y, proposal_chunk=None):
 
 def footprint(P: int = 8, n_train: int = 50000, class_sep: float = 1.5):
     """Peak compiled memory of the P-proposal LeNet grad program, by
-    layout. The NHWC/packed ratio is the lane-padding tax."""
+    layout. The NHWC/packed ratio is the lane-padding tax; NHWC at full
+    scale may be rejected outright by the TPU AOT compiler
+    (``compile_oom``), which is the point."""
     x, y, _, _ = load_cifar10(n_train=n_train, n_test=8,
                               class_sep=class_sep)
     out = {"P": P, "n_train": n_train, "backend": jax.default_backend()}
@@ -97,9 +112,23 @@ def footprint(P: int = 8, n_train: int = 50000, class_sep: float = 1.5):
     out["lenet_grad_packed_chunk1"] = _mem_stats(
         t, "value_and_grad_batch", theta
     )
-    r = (out["lenet_grad_nhwc"]["peak_gib"]
-         / max(out["lenet_grad_packed"]["peak_gib"], 1e-9))
-    out["nhwc_over_packed"] = round(r, 2)
+    a = out["lenet_grad_nhwc"].get("peak_gib")
+    b = out["lenet_grad_packed"].get("peak_gib")
+    if a and b:
+        out["nhwc_over_packed"] = round(a / b, 2)
+    # quarter-scale pair where both layouts compile: the clean ratio
+    n4 = max(n_train // 4, 64)
+    out["quarter"] = {"n_train": n4}
+    for layout in ("nhwc", "packed"):
+        t = _lenet_target(layout, x[:n4], y[:n4])
+        theta = jax.ShapeDtypeStruct((P, t.d), jnp.float32)
+        out["quarter"][f"lenet_grad_{layout}"] = _mem_stats(
+            t, "value_and_grad_batch", theta
+        )
+    a = out["quarter"]["lenet_grad_nhwc"].get("peak_gib")
+    b = out["quarter"]["lenet_grad_packed"].get("peak_gib")
+    if a and b:
+        out["quarter"]["nhwc_over_packed"] = round(a / b, 2)
     return out
 
 

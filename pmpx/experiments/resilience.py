@@ -38,6 +38,9 @@ import jax
 platform = sys.argv[1]
 if platform != "default":
     jax.config.update("jax_platforms", platform)
+# every launch runs the same program: share compiles across processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/pmpx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from pmpx.experiments.resilience import child
 child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
       int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]),

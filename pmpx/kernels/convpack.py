@@ -135,18 +135,30 @@ def batchnorm(
     bias: jnp.ndarray,
     g: Grid,
     eps: float = 1e-5,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Batch-statistics BatchNorm over (B, valid positions) per channel.
 
     Matches flax ``nn.BatchNorm(use_running_average=False)`` on the valid
     columns (biased variance, eps inside the rsqrt); junk columns are
     excluded from the statistics but still normalized (stay finite).
+
+    ``axis_name``: sync-BN over a mesh axis (data-parallel full-batch
+    posteriors need *global* batch statistics or the sharded density is
+    a different function than the unsharded one).
     """
     m = valid_mask(g, x.dtype)
     count = x.shape[0] * g.h * g.w
-    mean = jnp.sum(x * m, axis=(0, 2)) / count  # (C,)
+    s = jnp.sum(x * m, axis=(0, 2))  # (C,)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        count = count * jax.lax.psum(1, axis_name)
+    mean = s / count
     centered = x - mean[:, None]
-    var = jnp.sum((centered * m) ** 2, axis=(0, 2)) / count
+    v = jnp.sum((centered * m) ** 2, axis=(0, 2))
+    if axis_name is not None:
+        v = jax.lax.psum(v, axis_name)
+    var = v / count
     inv = jax.lax.rsqrt(var + eps)
     return centered * (scale * inv)[:, None] + bias[:, None]
 

@@ -11,23 +11,31 @@ posterior and are not kept as state).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 
 
 class LeNet(nn.Module):
     num_classes: int = 10
+    # sync-BN mesh axis for data-parallel full-batch evaluation (global
+    # batch statistics; see pmpx.parallel.sharded_nn)
+    bn_axis: Optional[str] = None
+
+    def with_bn_axis(self, axis):
+        return self.clone(bn_axis=axis)
 
     @nn.compact
     def __call__(self, x):
         # x: (B, 32, 32, 3)
         x = nn.Conv(6, (5, 5), padding="VALID")(x)
         x = nn.BatchNorm(use_running_average=False, use_scale=True,
-                         use_bias=True)(x)
+                         use_bias=True, axis_name=self.bn_axis)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.Conv(16, (5, 5), padding="VALID")(x)
         x = nn.BatchNorm(use_running_average=False, use_scale=True,
-                         use_bias=True)(x)
+                         use_bias=True, axis_name=self.bn_axis)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)

@@ -30,10 +30,11 @@ def _dense(params, x):
     return x @ params["kernel"] + params["bias"]
 
 
-def lenet_packed_apply(params, x, remat: bool = True):
+def lenet_packed_apply(params, x, remat: bool = True, bn_axis=None):
     """LeNet forward (``models/lenet.py``) in packed layout.
 
-    x: (B, 32, 32, 3) NHWC -> logits (B, 10).
+    x: (B, 32, 32, 3) NHWC -> logits (B, 10).  ``bn_axis``: mesh axis
+    for sync-BN statistics under data sharding.
     """
     y, g = cp.pack_images(x)
     y, g = cp.conv2d(
@@ -41,7 +42,8 @@ def lenet_packed_apply(params, x, remat: bool = True):
         remat=remat,
     )
     y = cp.batchnorm(
-        y, params["BatchNorm_0"]["scale"], params["BatchNorm_0"]["bias"], g
+        y, params["BatchNorm_0"]["scale"], params["BatchNorm_0"]["bias"],
+        g, axis_name=bn_axis,
     )
     y = jnp.maximum(y, 0)
     y, g = cp.max_pool2(y, g)
@@ -50,7 +52,8 @@ def lenet_packed_apply(params, x, remat: bool = True):
         remat=remat,
     )
     y = cp.batchnorm(
-        y, params["BatchNorm_1"]["scale"], params["BatchNorm_1"]["bias"], g
+        y, params["BatchNorm_1"]["scale"], params["BatchNorm_1"]["bias"],
+        g, axis_name=bn_axis,
     )
     y = jnp.maximum(y, 0)
     y, g = cp.max_pool2(y, g)
@@ -60,10 +63,11 @@ def lenet_packed_apply(params, x, remat: bool = True):
     return _dense(params["Dense_2"], h)
 
 
-def cnn_packed_apply(params, x, remat: bool = True):
+def cnn_packed_apply(params, x, remat: bool = True, bn_axis=None):
     """MnistCNN forward (``models/cnn.py``) in packed layout.
 
-    x: (B, 28, 28[, 1]) -> logits (B, 10).
+    x: (B, 28, 28[, 1]) -> logits (B, 10).  (``bn_axis`` accepted for
+    shim uniformity; MnistCNN has no BatchNorm.)
     """
     y, g = cp.pack_images(x)
     y, g = cp.conv2d(
@@ -90,16 +94,22 @@ class _PackedShim:
     _flax_cls = None
     _apply_fn = None
 
-    def __init__(self, remat: bool = True):
+    def __init__(self, remat: bool = True, bn_axis=None):
         self._flax = self._flax_cls()
         self.remat = remat
+        self.bn_axis = bn_axis
+
+    def with_bn_axis(self, axis):
+        """Sync-BN variant for data-parallel shards (same params)."""
+        return type(self)(remat=self.remat, bn_axis=axis)
 
     def init(self, rngs, x):
         return self._flax.init(rngs, x)
 
     def apply(self, variables, x, mutable=None, **kwargs):
         out = type(self)._apply_fn(
-            variables["params"], x, remat=self.remat
+            variables["params"], x, remat=self.remat,
+            bn_axis=self.bn_axis,
         )
         if mutable:
             # BatchNorm runs in batch-statistics mode; running averages

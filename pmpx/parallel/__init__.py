@@ -10,6 +10,7 @@ from pmpx.parallel.chains import (
     run_chains_vmapped,
 )
 from pmpx.parallel.sharded_linreg import ShardedLinReg
+from pmpx.parallel.sharded_nn import ShardedNNPosterior
 from pmpx.parallel.tree_shard import make_tree_sharded_superstep
 
 __all__ = [
@@ -21,5 +22,6 @@ __all__ = [
     "run_chains_sharded",
     "run_chains_vmapped",
     "ShardedLinReg",
+    "ShardedNNPosterior",
     "make_tree_sharded_superstep",
 ]
