@@ -37,7 +37,8 @@ def run(
     scale: str = "smoke",
     warm_start: str = "",
     class_sep: float = 1.5,
-    layout: str = "packed",
+    layout: str = "nhwc",
+    remat: bool = False,
     proposal_chunk=None,
     compute_dtype: str = "",
 ):
@@ -46,9 +47,14 @@ def run(
     x_tr, y_tr, x_te, y_te = load_cifar10(
         n_train=n_train, n_test=n_test, class_sep=class_sep
     )
-    # packed layout (pmpx.models.packed) is what makes full-batch 50k-image
-    # PMP-HMC fit one chip; layout="nhwc" is the plain flax path
-    model = LeNet() if layout == "nhwc" else PackedLeNet()
+    # NHWC (plain flax) measured ~10x faster and ~2x leaner than the
+    # channel-packed executor on v5e (artifacts/nn_perf); layout="packed"
+    # keeps the alternative.  compute_dtype="bf16" is the measured lever
+    # for full-P concurrency at full batch (25.7 -> 14.8 GiB grad
+    # program); remat is kept but measured peak-neutral on TPU.
+    model = (
+        PackedLeNet() if layout == "packed" else LeNet(remat=remat)
+    )
     target = NNPosterior(
         model, x_tr, y_tr, init_key=jax.random.key(seed),
         proposal_chunk=proposal_chunk,

@@ -23,14 +23,15 @@ from pmpx.models import MnistCNN, MnistLSTM, MnistMLP, PackedMnistCNN
 from pmpx.samplers.base import run_chain
 from pmpx.targets.nn import NNPosterior
 
-# CNN defaults to the channel-packed executor (pmpx.models.packed):
-# identical params/math, ~6x less activation memory on TPU, which is what
-# lets the proposal axis scale on one chip.  layout="nhwc" restores the
-# plain flax module.
+# CNN defaults to the plain flax module (NHWC): measured on v5e, XLA's
+# own conv layouts beat the hand-packed executor ~4-10x in us/superstep
+# AND in compiled memory (artifacts/nn_perf) — layout="packed" keeps the
+# channel-packed executor (pmpx.models.packed) available as the measured
+# alternative.
 MODELS = {
     "FC": lambda layout: MnistMLP(),
     "CNN": lambda layout: (
-        MnistCNN() if layout == "nhwc" else PackedMnistCNN()
+        PackedMnistCNN() if layout == "packed" else MnistCNN()
     ),
     "LSTM": lambda layout: MnistLSTM(),
 }
@@ -74,7 +75,7 @@ def run(
     class_sep: float = 1.5,
     proposal_chunk=None,
     warm_start: str = "",
-    layout: str = "packed",
+    layout: str = "nhwc",
 ):
     if scale == "paper":
         n_train, n_test, num_steps = 60000, 10000, 500000

@@ -2,11 +2,13 @@
 
 Two measurements the reference never makes but whose workloads it defines:
 
-* ``footprint``: compiled peak-memory analysis of the batched LeNet/CNN
-  density (and gradient) programs in NHWC vs packed layout — the number
-  that decides whether full-batch image posteriors (``cifar_PMPhmc.py``
-  full 50k CIFAR, ``PMP_CNN.py`` full 60k MNIST) fit one chip and at what
-  proposal parallelism.
+* ``footprint``: compiled peak-memory analysis of the batched LeNet
+  gradient program across layouts (NHWC, hand-packed) and memory levers
+  (conv-block remat, bf16 activations) — the numbers that decide whether
+  full-batch image posteriors (``cifar_PMPhmc.py`` full 50k CIFAR,
+  ``PMP_CNN.py`` full 60k MNIST) fit one chip and at what proposal
+  parallelism.  These measurements are how the round-1 "NHWC lane
+  padding" hypothesis was disproved (see ``pmpx/models/packed.py``).
 * ``table``: measured us/superstep for every NN-zoo cell at reference
   scale — MNIST {FC, CNN, LSTM} x {MH, MP, PMP} (``complex_nets/Mnist``)
   and CIFAR LeNet {SP, MP, PMP}-HMC (``complex_nets/Cifar-10``) — the
@@ -84,34 +86,49 @@ def _mem_stats(target, method_name: str, theta_spec):
     return out
 
 
-def _lenet_target(layout: str, x, y, proposal_chunk=None):
-    model = LeNet() if layout == "nhwc" else PackedLeNet()
+def _lenet_target(layout: str, x, y, proposal_chunk=None,
+                  remat=False, compute_dtype=None):
+    model = LeNet(remat=remat) if layout == "nhwc" else PackedLeNet()
     return NNPosterior(
         model, x, y, init_key=jax.random.key(0),
-        proposal_chunk=proposal_chunk,
+        proposal_chunk=proposal_chunk, compute_dtype=compute_dtype,
     )
 
 
 def footprint(P: int = 8, n_train: int = 50000, class_sep: float = 1.5):
     """Peak compiled memory of the P-proposal LeNet grad program, by
-    layout. The NHWC/packed ratio is the lane-padding tax; NHWC at full
-    scale may be rejected outright by the TPU AOT compiler
-    (``compile_oom``), which is the point."""
+    layout and memory lever.  At full scale the unchunked P=8 programs
+    are rejected outright by the TPU AOT compiler (``compile_oom``) —
+    the question each variant answers is how far remat/bf16/packing move
+    that ceiling."""
     x, y, _, _ = load_cifar10(n_train=n_train, n_test=8,
                               class_sep=class_sep)
     out = {"P": P, "n_train": n_train, "backend": jax.default_backend()}
-    for layout in ("nhwc", "packed"):
-        t = _lenet_target(layout, x, y)
+    variants = {
+        "nhwc": {},
+        "packed": {},
+        # the memory levers that decide how many full-batch conv grads
+        # fit concurrently: block remat (residuals shrink to post-pool
+        # boundaries) and bf16 activations (f32 loss/grads)
+        "nhwc_remat": {"remat": True},
+        "nhwc_bf16": {"compute_dtype": jnp.bfloat16},
+        "nhwc_remat_bf16": {"remat": True,
+                            "compute_dtype": jnp.bfloat16},
+    }
+    for name, kw in variants.items():
+        layout = "packed" if name == "packed" else "nhwc"
+        t = _lenet_target(layout, x, y, **kw)
         theta = jax.ShapeDtypeStruct((P, t.d), jnp.float32)
-        out[f"lenet_grad_{layout}"] = _mem_stats(
+        out[f"lenet_grad_{name}"] = _mem_stats(
             t, "value_and_grad_batch", theta
         )
-    # the configuration that actually runs long chains: packed + chunked
-    t = _lenet_target("packed", x, y, proposal_chunk=1)
-    theta = jax.ShapeDtypeStruct((P, t.d), jnp.float32)
-    out["lenet_grad_packed_chunk1"] = _mem_stats(
-        t, "value_and_grad_batch", theta
-    )
+    # the configurations that actually run long chains: chunked, by layout
+    for layout in ("nhwc", "packed"):
+        t = _lenet_target(layout, x, y, proposal_chunk=1)
+        theta = jax.ShapeDtypeStruct((P, t.d), jnp.float32)
+        out[f"lenet_grad_{layout}_chunk1"] = _mem_stats(
+            t, "value_and_grad_batch", theta
+        )
     a = out["lenet_grad_nhwc"].get("peak_gib")
     b = out["lenet_grad_packed"].get("peak_gib")
     if a and b:
@@ -180,35 +197,64 @@ def table(
     cnn_chunk=2,
     cifar_chunk=1,
     class_sep: float = 1.5,
+    only: str | None = None,
+    on_cell=None,
 ):
     """us/superstep for each NN-zoo cell at reference batch sizes.
 
     Conv cells bound concurrent proposals (even packed, 8 full-batch conv
     grads exceed one chip's HBM); ``proposal_chunk`` overrides per-cell
-    defaults when set."""
+    defaults when set.
+
+    ``only``: comma-separated fnmatch patterns over cell names — skip
+    non-matching cells (a wedged-device run can be finished cell-by-cell
+    in fresh processes).  ``on_cell(name, value)``: incremental-
+    persistence hook — a TPU "device error" wedges the whole grant, so
+    every cell measured before the wedge must already be on disk.
+    """
+    from fnmatch import fnmatch
+
     cells = {}
+    pats = [p for p in (only or "").split(",") if p]
+
+    def _cell(name, make_target, spec):
+        if pats and not any(fnmatch(name, p) for p in pats):
+            return
+        try:
+            cells[name] = round(_time_cell(make_target(), spec, iters), 1)
+        except Exception as e:  # record the failure, keep measuring
+            cells[name] = f"error: {str(e)[:200]}"
+        if on_cell is not None:
+            on_cell(name, cells[name])
+
     x, y, _, _ = load_mnist(n_train=n_mnist, n_test=8,
                             class_sep=class_sep)
     for model in ("FC", "CNN", "LSTM"):
         chunk = proposal_chunk or (
             cnn_chunk if model == "CNN" else None
         )
-        target = NNPosterior(
-            MNIST_MODELS[model]("packed"), x, y, temper=10.0,
-            init_key=jax.random.key(0), proposal_chunk=chunk,
-        )
-        for algo in ("mh", "mp", "pmp"):
-            us = _time_cell(target, _mnist_spec(algo, alpha, N), iters)
-            cells[f"mnist_{model}_{algo}"] = round(us, 1)
+        # nhwc is the measured winner and the default (suffix-free);
+        # the packed cells document the alternative's cost
+        layouts = ("nhwc", "packed") if model == "CNN" else ("nhwc",)
+        for layout in layouts:
+            mk = lambda m=model, lo=layout, c=chunk: NNPosterior(
+                MNIST_MODELS[m](lo), x, y, temper=10.0,
+                init_key=jax.random.key(0), proposal_chunk=c,
+            )
+            suffix = "" if layout == "nhwc" else "_packed"
+            for algo in ("mh", "mp", "pmp"):
+                _cell(f"mnist_{model}_{algo}{suffix}", mk,
+                      _mnist_spec(algo, alpha, N))
     xc, yc, _, _ = load_cifar10(n_train=n_cifar, n_test=8,
                                 class_sep=class_sep)
-    target = _lenet_target("packed", xc, yc,
-                           proposal_chunk=proposal_chunk or cifar_chunk)
-    for algo in ("sp_hmc", "mp_hmc", "pmp_hmc"):
-        us = _time_cell(
-            target, _cifar_spec(algo, N, 0.1, 0.0005), iters
+    for layout in ("nhwc", "packed"):
+        mk = lambda lo=layout: _lenet_target(
+            lo, xc, yc, proposal_chunk=proposal_chunk or cifar_chunk
         )
-        cells[f"cifar_{algo}"] = round(us, 1)
+        suffix = "" if layout == "nhwc" else "_packed"
+        for algo in ("sp_hmc", "mp_hmc", "pmp_hmc"):
+            _cell(f"cifar_{algo}{suffix}", mk,
+                  _cifar_spec(algo, N, 0.1, 0.0005))
     return cells
 
 
@@ -220,17 +266,37 @@ def run(
     n_mnist: int = 60000,
     n_cifar: int = 50000,
     proposal_chunk=None,
+    only: str | None = None,
     out_dir: str = "results/nn_perf",
 ):
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "nn_perf.json")
+    # merge into an existing artifact so cell-by-cell reruns accumulate
     out = {"backend": jax.default_backend(), "N": N}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                out.update(json.load(fh))
+        except Exception:
+            pass
+    out.setdefault("us_per_superstep", {})
+
+    def _dump():  # incremental: a late phase failing keeps earlier data
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+
+    def _on_cell(name, value):
+        out["us_per_superstep"][name] = value
+        _dump()
+
     if mode in ("footprint", "both"):
         out["footprint"] = footprint(P=P, n_train=n_cifar)
+        _dump()
     if mode in ("table", "both"):
-        out["us_per_superstep"] = table(
+        table(
             iters=iters, N=N, n_mnist=n_mnist, n_cifar=n_cifar,
-            proposal_chunk=proposal_chunk,
+            proposal_chunk=proposal_chunk, only=only,
+            on_cell=_on_cell,
         )
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "nn_perf.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+        _dump()
     return out

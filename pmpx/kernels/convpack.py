@@ -1,13 +1,16 @@
-"""Channel-packed conv layout: the TPU-native fix for small-channel convs.
+"""Channel-packed conv layout for small-channel convs.
 
-TPU tiles the two minor dims of every array as (8 sublanes, 128 lanes).
-The natural NHWC layout puts channels on lanes, so a LeNet/MnistCNN
-activation with C in {6, 10, 16, 20} pads to 128 lanes — a 6.4x-21x
-memory inflation that, multiplied by the proposal axis P, is what forces
-``proposal_chunk=1`` and blocks full-batch CIFAR PMP-HMC on one chip
-(reference workload: ``complex_nets/Cifar-10/cifar_PMPhmc.py:126-163``).
+**Measured negative result — see ``pmpx/models/packed.py``.**  The
+motivating hypothesis was that TPU tiling (8 sublanes, 128 lanes) makes
+NHWC activations with C in {6, 10, 16, 20} pad to 128 lanes, a 6.4x-21x
+memory inflation multiplied by the proposal axis P (reference workload:
+``complex_nets/Cifar-10/cifar_PMPhmc.py:126-163``).  Compiled
+measurement (v5e, artifacts/nn_perf) disproved it: XLA:TPU's native
+conv layouts cost ~half the memory of this formulation and run 4-10x
+faster.  Kept as the all-matmul, gather-free conv formulation and its
+oracle tests.
 
-Here activations live as ``(B, C, H*Wr)``: channels on *sublanes* (pad to
+Activations live as ``(B, C, H*Wr)``: channels on *sublanes* (pad to
 8, worst case 2.7x for C=3) and the flattened spatial grid on *lanes*
 (pad to 128, ~1.1x for real grids).  Convolutions become KH*KW shifted
 *contiguous* slices of the flat spatial axis, each contracted against a
@@ -102,6 +105,12 @@ def _conv2d_body(x, kernel, bias, g: Grid):
             out = out + jnp.einsum(
                 "co,bcl->bol", kernel[dy, dx], xs
             )
+            # pin the accumulation order: left alone, XLA tree-reduces
+            # the KH*KW-term sum and keeps O(KH*KW) copies of the
+            # full-size partial alive at once (observed 24x1.33 GiB on
+            # full-batch CIFAR); the barrier serializes so the buffer
+            # is reused in place
+            out = jax.lax.optimization_barrier(out)
     return out
 
 

@@ -5,14 +5,23 @@ delegate ``init`` to the standard flax module (so parameter pytrees,
 theta vectors, checkpoints, and the torch interop in ``pmpx.interop``
 are bit-compatible with ``LeNet``/``MnistCNN``) but execute the forward
 pass in the channel-packed ``(B, C, H*Wr)`` layout of
-``pmpx.kernels.convpack``, where activations cost ~1.3-2.7x their
-logical size instead of the 6.4x-21x lane padding of NHWC.
+``pmpx.kernels.convpack`` (channels on sublanes, flattened space on
+lanes; convs = shifted contiguous slices + matmuls).
 
-That padding is what capped the proposal axis on the image posteriors
-(the reference's flagship workload, ``cifar_PMPhmc.py:126-163``): under
-``vmap`` over P speculative networks every conv activation is multiplied
-by P, so the layout factor directly divides the largest P (or
-``proposal_chunk``) that fits one chip.
+**Measured outcome (v5e, artifacts/nn_perf): the hand-packed layout
+LOSES to plain NHWC.** The hypothesis behind it — that NHWC pads small
+channel counts to 128 lanes and so inflates activations 6-21x — does
+not survive compilation: XLA:TPU lays out and fuses the NHWC conv stack
+well enough that the compiled NHWC grad program is ~2x *smaller* and
+4-10x *faster* than the packed one (e.g. full-batch CIFAR LeNet grad,
+P=8: 25.7 GiB NHWC vs 53.1 GiB packed; MNIST-CNN MH superstep 30.5 ms
+NHWC vs 332 ms packed).  The slice-per-tap formulation defeats XLA's
+conv fusions and re-materializes shifted copies of the input that the
+native conv never instantiates.  The executors stay (a) as the measured
+negative result, (b) as the only all-matmul conv path should a future
+Mosaic kernel want the layout; the real memory levers for the proposal
+axis are ``LeNet(remat=True)`` and ``compute_dtype=bfloat16``
+(``pmpx.targets.nn``).
 """
 
 from __future__ import annotations

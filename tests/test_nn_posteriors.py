@@ -56,6 +56,32 @@ def test_lenet_batchnorm_posterior():
     assert np.isfinite(np.asarray(grads)).all()
 
 
+def test_lenet_remat_same_params_and_grads():
+    """LeNet(remat=True) rematerializes conv blocks in the backward pass
+    (the memory lever for full-batch proposal parallelism) but must be
+    the *same function*: identical param tree, forward, and gradients —
+    so thetas and warm-start checkpoints interop with the plain model."""
+    x_tr, y_tr, _, _ = load_cifar10(n_train=32, n_test=8)
+    t_plain = NNPosterior(LeNet(), x_tr, y_tr,
+                          init_key=jax.random.key(2))
+    t_remat = NNPosterior(LeNet(remat=True), x_tr, y_tr,
+                          init_key=jax.random.key(2))
+    assert t_plain.d == t_remat.d
+    theta = t_plain.init_theta()
+    np.testing.assert_array_equal(
+        np.asarray(theta), np.asarray(t_remat.init_theta())
+    )
+    Theta = theta[None, :] + 0.01 * jax.random.normal(
+        jax.random.key(1), (2, t_plain.d)
+    )
+    v1, g1 = t_plain.value_and_grad_batch(Theta)
+    v2, g2 = t_remat.value_and_grad_batch(Theta)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_bnn_stochastic_posterior(mnist_small):
     x_tr, y_tr, _, _ = mnist_small
     t = NNPosterior(

@@ -7,7 +7,7 @@ import pytest
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from pmpx.models import MnistMLP, PackedLeNet
+from pmpx.models import LeNet, MnistMLP, PackedLeNet
 from pmpx.parallel.mesh import AXIS_DATA, make_mesh
 from pmpx.parallel.sharded_nn import ShardedNNPosterior
 from pmpx.targets.nn import NNPosterior
@@ -26,7 +26,13 @@ def _setup(model_cls, shape, n=64, seed=0):
 
 @pytest.mark.parametrize(
     "model_cls,shape",
-    [(MnistMLP, (28, 28)), (PackedLeNet, (32, 32, 3))],
+    [
+        (MnistMLP, (28, 28)),
+        # LeNet = the default NHWC layout (flax BatchNorm sync-BN via
+        # axis_name); PackedLeNet = the packed alternative's mask-aware BN
+        (LeNet, (32, 32, 3)),
+        (PackedLeNet, (32, 32, 3)),
+    ],
 )
 def test_sharded_nn_density_and_grad_match(model_cls, shape):
     t, x, y = _setup(model_cls, shape)
