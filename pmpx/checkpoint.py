@@ -34,9 +34,15 @@ def save_checkpoint(
     for k, v in (extra or {}).items():
         arrays[f"extra_{k}"] = np.asarray(v)
     # savez to an open handle: np.savez(path_str) silently appends '.npz',
-    # which would break load/resume on the path we return
-    with open(path, "wb") as f:
+    # which would break load/resume on the path we return.  Write to a
+    # temp file and os.replace: a SIGKILL mid-write must never leave a
+    # torn chain.ckpt (crash-anywhere is the whole resume contract)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 

@@ -41,6 +41,23 @@ class SamplerSpec:
     num_leapfrog: int = 1
     accept_scale: float = 1.0
 
+    @classmethod
+    def reference_nn(cls, algo: str, N: int, **kw) -> "SamplerSpec":
+        """Spec for the reference's NN protocols, where ``N`` (the
+        ``--N`` CLI flag / top-of-file constant) means *N+1 speculative
+        states in a binary prefetch tree* (``cifar_PMPhmc.py:114-120``,
+        ``main.py:15-22``).  Encodes that convention once: tree samplers
+        get ``N=1, depth=log2(N+1)`` (binary), flat samplers keep ``N``.
+        Pass tree shape directly to ``SamplerSpec`` itself for the
+        beyond-reference general-(N, depth) trees.
+        """
+        from pmpx import tree
+
+        depth = tree.binary_depth(N + 1)
+        if algo in ("pmp", "pmp_hmc", "psp"):
+            return cls(algo=algo, N=1, depth=depth, **kw)
+        return cls(algo=algo, N=N, depth=depth, **kw)
+
     def build(self, target):
         """Return the superstep for this spec over ``target``."""
         from pmpx.samplers import hmc, mh, mp, pmp
@@ -52,6 +69,16 @@ class SamplerSpec:
         selection = self.selection
         if selection is None:
             selection = "single" if self.algo == "pmp_hmc" else "all_uniform"
+        if self.rule is not None and self.algo not in ("mh", "pmp_hmc"):
+            # only MH and PMP-HMC have configurable acceptance rules;
+            # SP-HMC/MP-HMC rules are fixed by the reference protocol
+            # (exp-scaled MH / exp(min(0, dH))) and the RW tree samplers
+            # take theirs from selection/stabilizer
+            raise ValueError(
+                f"rule is not configurable for algo {self.algo!r} "
+                "(mh: metropolis|barker; pmp_hmc: barker|mh_clamp|"
+                "barker_clamp)"
+            )
 
         if self.algo == "mh":
             rule = self.rule if self.rule is not None else "metropolis"

@@ -71,15 +71,13 @@ def run(
     else:
         theta0 = pretrain(target, pretrain_steps)
 
-    # the reference's "N" means N+1 speculative states; its PMP-HMC tree
-    # is always binary (one leapfrog child per node, depth log2(N+1))
-    spec = SamplerSpec(
-        algo=algo,
-        N=1 if algo == "pmp_hmc" else N,
-        depth=tree.binary_depth(N + 1),
+    # the reference's "N" means N+1 speculative states in a binary tree;
+    # SamplerSpec.reference_nn encodes that convention
+    spec = SamplerSpec.reference_nn(
+        algo, N,
         step_size=step_size,
         mom_scale=mom_scale,
-        rule="mh_clamp" if algo == "pmp_hmc" else "barker",
+        rule="mh_clamp" if algo == "pmp_hmc" else None,
         accept_scale=1000.0 if algo == "sp_hmc" else 1.0,
     )
     superstep = spec.build(target)

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_mnist
 from pmpx.metrics.recorder import reference_style_name, save_trace
@@ -76,9 +75,20 @@ def run(
     proposal_chunk=None,
     warm_start: str = "",
     layout: str = "nhwc",
+    chunk_steps=None,
+    resume: bool = False,
 ):
+    """``chunk_steps``: run the chain as checkpointed device calls of
+    that many supersteps (``pmpx.checkpoint.resume_chain``) instead of
+    one monolithic scan — required at paper scale, where a single 500k-
+    step device execution outlives what the remote TPU transport
+    tolerates (observed worker crash ~3 min into a monolithic scan), and
+    it makes the reference-protocol runs crash-resumable (``resume=True``
+    continues from the checkpoint)."""
     if scale == "paper":
         n_train, n_test, num_steps = 60000, 10000, 500000
+        if chunk_steps is None:
+            chunk_steps = 10000
     x_tr, y_tr, x_te, y_te = load_mnist(
         n_train=n_train, n_test=n_test, class_sep=class_sep
     )
@@ -98,40 +108,49 @@ def run(
     else:
         theta0 = pretrain(target, pretrain_steps)
 
-    import math
-
     if algo == "mh":
         spec = SamplerSpec(algo="mh", step_size=alpha)
-    elif algo == "mp":
-        spec = SamplerSpec(
-            algo="mp", N=N, step_size=alpha, selection="single",
+    else:
+        # reference convention: N means N+1 states in a binary tree
+        spec = SamplerSpec.reference_nn(
+            algo, N, step_size=alpha, selection="single",
             stabilizer="zscore",
         )
-    else:
-        spec = SamplerSpec(
-            algo="pmp", N=1, depth=tree.binary_depth(N + 1),
-            step_size=alpha, selection="single", stabilizer="zscore",
-        )
     superstep = spec.build(target)
-
-    @jax.jit
-    def run_fn(k, t, X):
-        # dataset as a jit argument (not an embedded HLO constant)
-        with target.bound_data(X):
-            return run_chain(
-                superstep, k, t, num_steps,
-                collect=lambda th, o: -target.log_prob(th)
-                / target.temper,  # CE loss
-            )
-
-    thetaF, losses = run_fn(jax.random.key(seed + 1), theta0, x_tr)
-    losses = np.asarray(losses)
-    acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
-    acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))
+    # CE loss of the chosen state, from the superstep's own density
+    # evaluation (no re-evaluation of the full batch per step)
+    loss_of = lambda th, o: -o["root_logp"] / target.temper
 
     name = reference_style_name(
         algo.upper(), alpha, num_steps, model=model, N=N
     )
+    if chunk_steps:
+        import os
+
+        from pmpx.checkpoint import resume_chain, save_checkpoint
+
+        ckpt = os.path.join(out_dir, f"{name}.ckpt")
+        if not (resume and os.path.exists(ckpt)):
+            os.makedirs(out_dir, exist_ok=True)
+            save_checkpoint(ckpt, theta0, jax.random.key(seed + 1), 0)
+        thetaF, recs = resume_chain(
+            superstep, ckpt, num_steps, collect=loss_of,
+            checkpoint_every=chunk_steps,
+        )
+        losses = np.concatenate([np.asarray(r) for r in recs])
+    else:
+        @jax.jit
+        def run_fn(k, t, X):
+            # dataset as a jit argument (not an embedded HLO constant)
+            with target.bound_data(X):
+                return run_chain(
+                    superstep, k, t, num_steps, collect=loss_of
+                )
+
+        thetaF, losses = run_fn(jax.random.key(seed + 1), theta0, x_tr)
+        losses = np.asarray(losses)
+    acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
+    acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))
     save_trace(out_dir, name, {"loss": losses}, {"model": model})
     return {
         "loss_first": float(losses[0]),

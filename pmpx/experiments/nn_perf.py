@@ -28,7 +28,6 @@ import os
 import jax
 import jax.numpy as jnp
 
-from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_cifar10, load_mnist
 from pmpx.models import (
@@ -152,22 +151,18 @@ def footprint(P: int = 8, n_train: int = 50000, class_sep: float = 1.5):
 def _mnist_spec(algo: str, alpha: float, N: int) -> SamplerSpec:
     if algo == "mh":
         return SamplerSpec(algo="mh", step_size=alpha)
-    if algo == "mp":
-        return SamplerSpec(algo="mp", N=N, step_size=alpha,
-                           selection="single", stabilizer="zscore")
-    return SamplerSpec(algo="pmp", N=1, depth=tree.binary_depth(N + 1),
-                       step_size=alpha, selection="single",
-                       stabilizer="zscore")
+    return SamplerSpec.reference_nn(
+        algo, N, step_size=alpha, selection="single",
+        stabilizer="zscore",
+    )
 
 
 def _cifar_spec(algo: str, N: int, step_size: float,
                 mom_scale: float) -> SamplerSpec:
-    return SamplerSpec(
-        algo=algo,
-        N=1 if algo == "pmp_hmc" else N,
-        depth=tree.binary_depth(N + 1),
+    return SamplerSpec.reference_nn(
+        algo, N,
         step_size=step_size, mom_scale=mom_scale,
-        rule="mh_clamp" if algo == "pmp_hmc" else "barker",
+        rule="mh_clamp" if algo == "pmp_hmc" else None,
         accept_scale=1000.0 if algo == "sp_hmc" else 1.0,
     )
 
@@ -271,14 +266,17 @@ def run(
 ):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "nn_perf.json")
-    # merge into an existing artifact so cell-by-cell reruns accumulate
-    out = {"backend": jax.default_backend(), "N": N}
+    # merge into an existing artifact so cell-by-cell reruns accumulate —
+    # prior cells are kept, but this run's header (backend, N) wins
+    out = {}
     if os.path.exists(path):
         try:
             with open(path) as fh:
                 out.update(json.load(fh))
         except Exception:
             pass
+    out["backend"] = jax.default_backend()
+    out["N"] = N
     out.setdefault("us_per_superstep", {})
 
     def _dump():  # incremental: a late phase failing keeps earlier data

@@ -80,9 +80,11 @@ def run(
                     depth=tree.binary_depth(P) if algo == "pmp" else 1,
                     step_size=0.02, selection="all_first",
                 )
+                cell_method = "scan"
                 if fused_chain and fc.supports(cfg):
                     # whole chain chunks inside one Pallas kernel: erases
                     # the small-P op-launch floor (see kernels/fused_chain)
+                    cell_method = "fused_chain"
                     runk = fc.make_fused_chain(
                         target, cfg, chunk=min(1000, iters)
                     )
@@ -110,6 +112,10 @@ def run(
                 key = f"{algo}_n{n_data}_P{P}"
                 out[f"{key}_us"] = round(best, 3)
                 out[f"{key}_overhead_us"] = 0.0
+                if fused_chain:
+                    # a fused_chain request can fall back per-cell (the
+                    # kernel covers P <= 128); say which path was timed
+                    out[f"{key}_method"] = cell_method
                 if speedup:
                     out[f"{key}_speedup_vs_a100"] = round(speedup, 2)
                 rows.append((algo, n_data, P, best))

@@ -40,9 +40,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from pmpx import tree as tree_mod
 from pmpx.samplers.base import Target
 from pmpx.samplers.pmp import select_and_emit
 from pmpx.samplers.stabilize import stabilize_logits

@@ -75,6 +75,8 @@ def make_superstep(target: Target, cfg: MHConfig):
             "samples": theta2[None, :],
             "accepted": accept,
             "log_accept": log_acc,
+            # chosen state's log-density (see pmp.make_superstep)
+            "root_logp": jnp.where(accept, lp_prop, lp_cur),
         }
 
     return superstep

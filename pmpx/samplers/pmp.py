@@ -246,6 +246,11 @@ def make_superstep(target: Target, cfg: PMPConfig):
             "samples": samples,
             "log_accept": logA,
             "root_index": root,
+            # the chosen state's log-density, free for the taking here —
+            # loss-trace collectors use it instead of re-evaluating the
+            # full-batch density (the reference logs loss every step,
+            # PMP_FC.py:147-155)
+            "root_logp": logpi[root],
         }
 
     return superstep
