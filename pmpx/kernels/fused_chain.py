@@ -1,4 +1,4 @@
-"""Whole-chain Pallas megakernel for small-P MP/PMP over Bayesian linreg.
+"""Whole-chain Pallas megakernel for MP/PMP over Bayesian linreg.
 
 Motivation (VERDICT r1): at small P the superstep's device time is an
 op-launch floor — ~75 fused micro-ops of 0.2-0.8 us each (~14 us/iter at
@@ -11,16 +11,19 @@ generation (in-kernel PRNG, Box-Muller), likelihood, tree-walk weights,
 categorical selection, and the parameter trace all live in
 VMEM/registers for hundreds of supersteps per launch.
 
-Layout: parameters on sublanes (rows 0..2 of an (8, 128) tile: beta0,
-beta1, sigma), tree nodes on lanes — so every per-node op is one native
-VPU tile op, and every structural operation (root->node path sums, the
-binary walk's ancestor/partner selection, the resampling CDF) is a
-matmul with a trace-time constant 0/1 matrix on the MXU.  No gathers, no
-dynamic stores: the per-iteration trace accumulates via a broadcast
-one-hot product.
+Layout: parameters on sublanes (rows 0..2 of an (8, L) block: beta0,
+beta1, sigma), tree nodes on lanes, where ``L = max(P, 128)`` spans
+multiple lane-tiles for P up to 1024.  Every structural operation
+exploits the mixed-radix identity ``ancestor_i(x) = x mod 2^(i+1)``
+(``pmpx.tree``), so the whole tree is built and walked by *hierarchical
+doubling* — ``S <- concat(S, S + eps_hi)`` per level — with no gathers,
+no dynamic stores, and no (P, P) constant matrices at all (the earlier
+formulation's path/select/partner/CDF matmuls would cost 80 MB of VMEM
+at P=1024).  The inverse-CDF selection uses a log-step prefix sum, and
+the per-iteration trace accumulates via a broadcast one-hot product.
 
-Supported configs: binary prefetching trees (N=1, depth<=7, P=2^D<=128)
-and flat MP (depth=1, N+1<=128), selection by one categorical draw (the
+Supported configs: binary prefetching trees (N=1, depth<=10, P<=1024)
+and flat MP (depth=1, N+1<=1024), selection by one categorical draw (the
 root path of every reference selection mode), stabilizer "none".
 The in-kernel PRNG stream differs from jax.random, so agreement with the
 XLA path is statistical (tested) rather than bitwise.
@@ -41,11 +44,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pmpx import tree as tree_mod
-
 __all__ = ["supports", "make_fused_chain"]
 
 _LANES = 128
+_MAX_P = 1024
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
@@ -53,7 +55,7 @@ def supports(cfg) -> bool:
     """Whether this kernel implements cfg's sampler exactly."""
     P = (cfg.N + 1) ** cfg.depth
     return (
-        P <= _LANES
+        P <= _MAX_P
         and (cfg.N == 1 or cfg.depth == 1)
         and cfg.stabilizer == "none"
     )
@@ -77,6 +79,17 @@ def _uniform(shape):
     return 2.0 - f  # (0, 1]
 
 
+def _periodize(v, period, L):
+    """Tile ``v``'s first ``period`` lanes periodically over all ``L``
+    lanes: slice + ``pltpu.repeat`` (Mosaic rejects sub-tile lane
+    concatenation, so no concat/pad tricks; doubling circular rolls work
+    but cost ~30x — rolls that span lane-tiles are slow)."""
+    if period >= L:
+        return v
+    block = jax.lax.slice_in_dim(v, 0, period, axis=1)
+    return pltpu.repeat(block, L // period, axis=1)
+
+
 def _dot(a, b):
     return jnp.dot(
         a, b,
@@ -86,15 +99,14 @@ def _dot(a, b):
 
 
 def _chain_kernel(
-    seed_ref, theta0_ref, xg_ref, yg_ref, pmT_ref, selT_ref, parT_ref,
-    cumT_ref, uin_ref, trace_ref, *,
-    steps, P, depth, N, n_data, temper, step_size, trans_sigma,
+    seed_ref, theta0_ref, xg_ref, yg_ref, cumT_ref, uin_ref, trace_ref, *,
+    steps, P, L, depth, N, n_data, temper, step_size, trans_sigma,
     trans_norm, mode, rng,
 ):
     if rng == "kernel":
         pltpu.prng_seed(seed_ref[0])
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    valid = (lane < P).astype(jnp.float32)  # (1, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    valid = (lane < P).astype(jnp.float32)  # (1, L)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     row_valid = (row < 3).astype(jnp.float32)  # params live in rows 0..2
     lane0 = (lane == 0).astype(jnp.float32)
@@ -111,9 +123,9 @@ def _chain_kernel(
     def step(t, carry):
         theta, trace = carry  # (8, 1), (8, steps)
         if rng == "kernel":
-            u1 = _uniform((8, _LANES))
-            u2 = _uniform((8, _LANES))
-            usel = _uniform((1, _LANES))
+            u1 = _uniform((8, L))
+            u2 = _uniform((8, L))
+            usel = _uniform((1, L))
         else:
             # injected uniforms: 17 rows per step (8 + 8 + 1) — the
             # testable path (interpret mode stubs the hardware PRNG)
@@ -121,9 +133,27 @@ def _chain_kernel(
             u2 = uin_ref[pl.ds(t * 17 + 8, 8), :]
             usel = uin_ref[pl.ds(t * 17 + 16, 1), :]
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
-        eps = step_size * z * valid * row_valid
-        # root->node path sums: Y[p, x] = theta[p] + sum_a PM[x,a] eps[p,a]
-        Y = theta + _dot(eps, pmT_ref[...])  # (8, 128)
+        eps = step_size * z * valid * row_valid  # (8, L)
+
+        if mode == "binary":
+            # positions via the mixed-radix identity (pmpx.tree:
+            # anc_index[i, x] = x mod 2^(i+1)):
+            #   Y[x] = theta + sum_i [bit_i(x)] eps[x mod 2^(i+1)]
+            # level i's contribution is eps masked to its creation lanes
+            # [2^i, 2^(i+1)) made periodic — all full-width ops, no path
+            # matrix, no gathers.
+            S = jnp.zeros((8, L), jnp.float32)
+            for i in range(depth):
+                w = 2**i
+                born = jnp.logical_and(lane >= w, lane < 2 * w)
+                S = S + _periodize(
+                    eps * born.astype(jnp.float32), 2 * w, L
+                )
+        else:
+            # flat MP: node x's position is theta + its own innovation
+            # (root x=0 unmoved)
+            S = eps * (lane != 0).astype(jnp.float32)
+        Y = theta + S  # (8, L)
 
         sx = jnp.sum(xg)
         sy = jnp.sum(yg)
@@ -140,25 +170,30 @@ def _chain_kernel(
         s2 = jnp.maximum(sg * sg, 1e-30)
         logpi = temper * (
             -0.5 * n_data * (_LOG_2PI + jnp.log(s2)) - rss / (2.0 * s2)
-        )  # (1, 128)
-        logpi_mm = logpi * valid  # zero on dead lanes (matmul-safe)
+        )  # (1, L)
 
         if mode == "binary":
-            # per level: factor = log sigmoid(logpi[anc] - logpi[partner])
-            logA = jnp.zeros((1, _LANES), jnp.float32)
+            # per level i: contribution[x] = log sigmoid(
+            #   logpi[anc] - logpi[anc ^ 2^i]),  anc = x mod 2^(i+1).
+            # sel_i = periodized low block of logpi; the xor partner of a
+            # period-2^(i+1) periodic array is a circular roll by 2^i.
+            logA = jnp.zeros((1, L), jnp.float32)
             for i in range(depth):
-                sel = _dot(logpi_mm, selT_ref[i])
-                par = _dot(logpi_mm, parT_ref[i])
+                w = 2**i
+                sel = _periodize(
+                    logpi * (lane < 2 * w).astype(jnp.float32), 2 * w, L
+                )
+                par = pltpu.roll(sel, shift=w, axis=1)
                 logA = logA + jax.nn.log_sigmoid(sel - par)
         else:
             # flat MTM: lw_j = logpi_j + sum_{k!=j} log K(Y_j -> Y_k); the
             # per-pair constant is uniform across j and cancels in the
             # group normalization, leaving the pairwise distances
             # sum_k ||Yj - Yk||^2 = P ||Yj||^2 - 2 Yj.S + Q  (O(P d))
-            sq = jnp.sum(Y * Y, axis=0, keepdims=True)  # (1, 128)
-            S = jnp.sum(Y * valid, axis=1, keepdims=True)  # (8, 1)
+            sq = jnp.sum(Y * Y, axis=0, keepdims=True)  # (1, L)
+            Ssum = jnp.sum(Y * valid, axis=1, keepdims=True)  # (8, 1)
             Q = jnp.sum(sq * valid)
-            cross = jnp.sum(Y * S, axis=0, keepdims=True)  # (1, 128)
+            cross = jnp.sum(Y * Ssum, axis=0, keepdims=True)  # (1, L)
             sum_d2 = P * sq - 2.0 * cross + Q
             lw = logpi - sum_d2 / (2.0 * trans_sigma * trans_sigma
                                    * trans_norm)
@@ -167,8 +202,8 @@ def _chain_kernel(
 
         # one categorical draw (the root path of every selection mode)
         zmax = jnp.max(jnp.where(lane < P, logA, -1e30))
-        w = jnp.exp(logA - zmax) * valid  # (1, 128)
-        cdf = _dot(w, cumT_ref[...])  # inclusive prefix sums
+        w = jnp.exp(logA - zmax) * valid  # (1, L)
+        cdf = _dot(w, cumT_ref[...])  # inclusive prefix sums (MXU)
         u = jnp.sum(usel * lane0) * jnp.sum(w)
         onehot = jnp.logical_and(cdf - w < u, cdf >= u).astype(jnp.float32)
         theta2 = jnp.sum(Y * onehot * valid, axis=1, keepdims=True)
@@ -207,25 +242,12 @@ def make_fused_chain(
         if rng == "kernel":
             rng = "input"
     P = (cfg.N + 1) ** cfg.depth
+    L = max(P, _LANES)
     mode = "binary" if cfg.N == 1 else "mp"
-    topo = tree_mod.topology(cfg.N, cfg.depth)
-
-    pmT = np.zeros((_LANES, _LANES), np.float32)
-    pmT[:P, :P] = topo.path_matrix.T
-    selT = np.zeros((max(cfg.depth, 1), _LANES, _LANES), np.float32)
-    parT = np.zeros_like(selT)
-    if mode == "binary":
-        xs = np.arange(P)
-        for i in range(cfg.depth):
-            anc = xs & (2 ** (i + 1) - 1)
-            part = anc ^ (2**i)
-            selT[i, anc, xs] = 1.0
-            parT[i, part, xs] = 1.0
-    cumT = np.triu(np.ones((_LANES, _LANES), np.float32))
 
     xg = _pad_grid(np.asarray(target.x, np.float32))
     yg = _pad_grid(np.asarray(target.y, np.float32))
-    rows = xg.shape[0]
+    cumT = jnp.asarray(np.triu(np.ones((L, L), np.float32)))
 
     trans_norm = cfg.trans_normalize_by
     if trans_norm == 0:
@@ -234,7 +256,7 @@ def make_fused_chain(
     def one_chunk(seed, theta0, uin, steps):
         kern = functools.partial(
             _chain_kernel,
-            steps=steps, P=P, depth=cfg.depth, N=cfg.N,
+            steps=steps, P=P, L=L, depth=cfg.depth, N=cfg.N,
             n_data=float(target.n), temper=float(target.temper),
             step_size=float(cfg.step_size),
             trans_sigma=float(cfg.trans_sigma),
@@ -249,17 +271,11 @@ def make_fused_chain(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, steps), jnp.float32),
             interpret=interpret,
-        )(
-            seed, theta0, xg, yg, jnp.asarray(pmT), jnp.asarray(selT),
-            jnp.asarray(parT), jnp.asarray(cumT), uin,
-        )
+        )(seed, theta0, xg, yg, cumT, uin)
 
     @functools.partial(jax.jit, static_argnames=("num_steps",))
     def run(key, theta0, num_steps: int):
@@ -269,12 +285,12 @@ def make_fused_chain(
             k_seed, (n_chunks, 1), 0, np.iinfo(np.int32).max, jnp.int32
         )
         if rng == "input":
-            # uniforms in (0, 1]: 17 rows of 128 lanes per superstep
+            # uniforms in (0, 1]: 17 rows of L lanes per superstep
             uin = 1.0 - jax.random.uniform(
-                k_u, (n_chunks, chunk * 17, _LANES), jnp.float32
+                k_u, (n_chunks, chunk * 17, L), jnp.float32
             )
         else:
-            uin = jnp.zeros((n_chunks, 1, _LANES), jnp.float32)
+            uin = jnp.zeros((n_chunks, 1, L), jnp.float32)
         th0 = jnp.zeros((8, _LANES), jnp.float32)
         th0 = th0.at[:3, 0].set(theta0.astype(jnp.float32))
 

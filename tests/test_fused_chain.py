@@ -91,8 +91,12 @@ def oracle(target, cfg, uin, theta0, num_steps, chunk):
         PMPConfig(N=1, depth=5, step_size=0.05, selection="all_first"),
         PMPConfig(N=7, depth=1, step_size=0.05, selection="all_first"),
         PMPConfig(N=31, depth=1, step_size=0.05, selection="all_first"),
+        PMPConfig(N=1, depth=8, step_size=0.05, selection="all_first"),
+        PMPConfig(N=1, depth=10, step_size=0.05, selection="all_first"),
+        PMPConfig(N=255, depth=1, step_size=0.05, selection="all_first"),
     ],
-    ids=["binary-P4", "binary-P32", "mp-P8", "mp-P32"],
+    ids=["binary-P4", "binary-P32", "mp-P8", "mp-P32",
+         "binary-P256", "binary-P1024", "mp-P256"],
 )
 def test_fused_chain_matches_numpy_oracle(cfg):
     x, y = make_synthetic_linreg(jax.random.key(0), 1000)
@@ -109,8 +113,9 @@ def test_fused_chain_matches_numpy_oracle(cfg):
     # regenerate the exact injected uniforms the run used
     n_chunks = -(-steps // chunk)
     _, k_u = jax.random.split(key)
+    L = max((cfg.N + 1) ** cfg.depth, 128)
     uin = 1.0 - np.asarray(
-        jax.random.uniform(k_u, (n_chunks, chunk * 17, 128), jnp.float32)
+        jax.random.uniform(k_u, (n_chunks, chunk * 17, L), jnp.float32)
     )
     want = oracle(target, cfg, uin, theta0, steps, chunk)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
@@ -119,7 +124,8 @@ def test_fused_chain_matches_numpy_oracle(cfg):
 def test_supports_predicate():
     ok = PMPConfig(N=1, depth=7, step_size=0.1)
     assert fc.supports(ok)
-    assert not fc.supports(PMPConfig(N=1, depth=8, step_size=0.1))  # P=256
+    assert fc.supports(PMPConfig(N=1, depth=10, step_size=0.1))  # P=1024
+    assert not fc.supports(PMPConfig(N=1, depth=11, step_size=0.1))
     assert not fc.supports(PMPConfig(N=3, depth=2, step_size=0.1))
     assert not fc.supports(
         PMPConfig(N=1, depth=3, step_size=0.1, stabilizer="zscore")

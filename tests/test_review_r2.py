@@ -1,0 +1,89 @@
+"""Regression tests for the round-2 review fixes."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmpx.config import SamplerSpec
+from pmpx.targets import Gaussian1D
+
+
+def test_reference_nn_mapping():
+    """reference_nn encodes 'N means N+1 states in a binary tree' once:
+    tree samplers get (N=1, depth=log2(N+1)), flat samplers keep N."""
+    for algo in ("pmp", "pmp_hmc", "psp"):
+        sp = SamplerSpec.reference_nn(algo, 7)
+        assert (sp.N, sp.depth) == (1, 3)
+    for algo in ("mp", "mp_hmc"):
+        sp = SamplerSpec.reference_nn(algo, 7)
+        assert sp.N == 7
+
+
+@pytest.mark.parametrize("algo", ["mp", "pmp", "psp", "sp_hmc", "mp_hmc"])
+def test_rule_rejected_for_fixed_rule_algos(algo):
+    """Algos whose acceptance rule is fixed by the reference protocol
+    reject an explicit rule= instead of silently dropping it."""
+    with pytest.raises(ValueError, match="rule is not configurable"):
+        SamplerSpec(algo=algo, rule="barker").build(Gaussian1D())
+
+
+def test_root_logp_matches_selected_state():
+    """The emitted root_logp is exactly the chosen state's log-density
+    (loss collectors rely on it instead of re-evaluating the batch)."""
+    t = Gaussian1D()
+    for spec in (
+        SamplerSpec(algo="mh", step_size=0.5),
+        SamplerSpec(algo="pmp", N=1, depth=2, step_size=0.5,
+                    selection="single"),
+        SamplerSpec(algo="mp", N=3, step_size=0.5,
+                    selection="all_uniform"),
+    ):
+        superstep = spec.build(t)
+        theta2, out = jax.jit(superstep)(
+            jax.random.key(0), jnp.array([0.3], jnp.float32)
+        )
+        np.testing.assert_allclose(
+            float(out["root_logp"]), float(t.log_prob(theta2)),
+            rtol=1e-6,
+        )
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """save_checkpoint must leave either the old or the new file, never
+    a torn one: it writes via temp + os.replace and cleans up."""
+    from pmpx.checkpoint import load_checkpoint, save_checkpoint
+
+    p = str(tmp_path / "chain.ckpt")
+    save_checkpoint(p, jnp.arange(3.0), jax.random.key(1), 7)
+    assert not os.path.exists(p + ".tmp")
+    theta, key, step, _ = load_checkpoint(p)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(theta), [0.0, 1.0, 2.0])
+    # overwrite keeps atomicity
+    save_checkpoint(p, jnp.zeros(3), jax.random.key(2), 8)
+    assert not os.path.exists(p + ".tmp")
+    assert load_checkpoint(p)[2] == 8
+
+
+def test_mnist_chunked_equals_result_shape(tmp_path):
+    """The chunked (resume_chain) mnist path produces a full-length loss
+    trace and a finite result dict, same contract as the monolithic
+    scan."""
+    from pmpx.experiments import mnist
+
+    out = mnist.run(
+        model="FC", algo="pmp", num_steps=60, n_train=128, n_test=32,
+        pretrain_steps=2, chunk_steps=25,
+        out_dir=str(tmp_path),
+    )
+    assert np.isfinite(out["loss_last"])
+    # trace file holds all 60 steps despite 25-step chunking
+    import glob
+
+    npz = glob.glob(str(tmp_path / "*.npz"))
+    assert npz, "trace not written"
+    z = np.load(npz[0])
+    assert z["loss"].shape == (60,)
