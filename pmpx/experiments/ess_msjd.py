@@ -39,8 +39,12 @@ def run(
     algos = as_tuple(algos)
     if scale == "paper":
         n_data, num_steps, burn_in = 100000, 1_000_000, 2000
+    fused_chain = method == "fused_chain"
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
-    target = BayesLinReg(x, y, temper=1.0 / 2000.0, method=method)
+    target = BayesLinReg(
+        x, y, temper=1.0 / 2000.0,
+        method="fused" if fused_chain else method,
+    )
     theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
     out = {}
     rows = []
@@ -56,15 +60,34 @@ def run(
                     algo="mp", N=P - 1, step_size=0.02,
                     selection="all_first",
                 )
-            superstep = spec.build(target)
+            if fused_chain:
+                # whole chain chunks inside one Pallas kernel: the
+                # per-superstep op floor disappears, multiplying ESS/s
+                # and MSJD/s at identical chain statistics (the trace IS
+                # the root path the scan's collect records)
+                from pmpx.kernels import fused_chain as fc
+                from pmpx.samplers.pmp import PMPConfig
 
-            from pmpx.samplers.base import run_chain
-
-            f = jax.jit(
-                lambda k, t, s=superstep: run_chain(
-                    s, k, t, num_steps, collect=lambda th, o: th
+                cfg = PMPConfig(
+                    N=spec.N,
+                    depth=spec.depth if algo == "pmp" else 1,
+                    step_size=0.02, selection="all_first",
                 )
-            )
+                runk = fc.make_fused_chain(target, cfg, chunk=1000)
+                f = jax.jit(
+                    lambda k, t, r=runk: (t, r(k, t, num_steps)),
+                    static_argnums=(),
+                )
+            else:
+                superstep = spec.build(target)
+
+                from pmpx.samplers.base import run_chain
+
+                f = jax.jit(
+                    lambda k, t, s=superstep: run_chain(
+                        s, k, t, num_steps, collect=lambda th, o: th
+                    )
+                )
             f(jax.random.key(seed), theta0)[1].block_until_ready()
             t0 = time.perf_counter()
             _, roots = f(jax.random.key(seed), theta0)
