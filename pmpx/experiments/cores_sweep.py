@@ -40,8 +40,12 @@ def run(
     Ps = as_tuple(Ps)
     if scale == "paper":
         set_time = 180.0
+    fused_chain = method == "fused_chain"
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
-    target = BayesLinReg(x, y, temper=1.0 / 2000.0, method=method)
+    target = BayesLinReg(
+        x, y, temper=1.0 / 2000.0,
+        method="fused" if fused_chain else method,
+    )
     theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
     out, traces = {}, {}
     for P in Ps:
@@ -56,12 +60,27 @@ def run(
                 algo="mp", N=P - 1, step_size=0.02,
                 selection="all_first",
             )
-        superstep = spec.build(target)
-        f = jax.jit(
-            lambda k, t, s=superstep: run_chain(
-                s, k, t, chunk, collect=lambda th, o: th
+        if fused_chain:
+            # whole chain chunks in one Pallas kernel (see ess_msjd):
+            # ~100x more iterations inside the same wall budget
+            from pmpx.kernels import fused_chain as fc
+
+            runk = fc.make_fused_chain(
+                target, fc.spec_to_cfg(spec), chunk=min(chunk, 1000)
             )
-        )
+
+            def f(k, t, r=runk, c=chunk):
+                tr = r(k, t, c)
+                return tr[-1], tr
+
+            f = jax.jit(f)
+        else:
+            superstep = spec.build(target)
+            f = jax.jit(
+                lambda k, t, s=superstep: run_chain(
+                    s, k, t, chunk, collect=lambda th, o: th
+                )
+            )
         theta = theta0
         key = jax.random.key(seed + 1)
         f(key, theta)[0].block_until_ready()  # compile outside budget

@@ -66,17 +66,12 @@ def run(
                 # and MSJD/s at identical chain statistics (the trace IS
                 # the root path the scan's collect records)
                 from pmpx.kernels import fused_chain as fc
-                from pmpx.samplers.pmp import PMPConfig
 
-                cfg = PMPConfig(
-                    N=spec.N,
-                    depth=spec.depth if algo == "pmp" else 1,
-                    step_size=0.02, selection="all_first",
+                runk = fc.make_fused_chain(
+                    target, fc.spec_to_cfg(spec), chunk=1000
                 )
-                runk = fc.make_fused_chain(target, cfg, chunk=1000)
                 f = jax.jit(
-                    lambda k, t, r=runk: (t, r(k, t, num_steps)),
-                    static_argnums=(),
+                    lambda k, t, r=runk: (t, r(k, t, num_steps))
                 )
             else:
                 superstep = spec.build(target)

@@ -73,13 +73,8 @@ def run(
                         selection="all_first",
                     )
                 from pmpx.kernels import fused_chain as fc
-                from pmpx.samplers.pmp import PMPConfig
 
-                cfg = PMPConfig(
-                    N=1 if algo == "pmp" else P - 1,
-                    depth=tree.binary_depth(P) if algo == "pmp" else 1,
-                    step_size=0.02, selection="all_first",
-                )
+                cfg = fc.spec_to_cfg(spec)
                 cell_method = "scan"
                 if fused_chain and fc.supports(cfg):
                     # whole chain chunks inside one Pallas kernel: erases
@@ -114,7 +109,7 @@ def run(
                 out[f"{key}_overhead_us"] = 0.0
                 if fused_chain:
                     # a fused_chain request can fall back per-cell (the
-                    # kernel covers P <= 128); say which path was timed
+                    # kernel covers P <= 1024); say which path was timed
                     out[f"{key}_method"] = cell_method
                 if speedup:
                     out[f"{key}_speedup_vs_a100"] = round(speedup, 2)

@@ -15,12 +15,14 @@ Layout: parameters on sublanes (rows 0..2 of an (8, L) block: beta0,
 beta1, sigma), tree nodes on lanes, where ``L = max(P, 128)`` spans
 multiple lane-tiles for P up to 1024.  Every structural operation
 exploits the mixed-radix identity ``ancestor_i(x) = x mod 2^(i+1)``
-(``pmpx.tree``), so the whole tree is built and walked by *hierarchical
-doubling* — ``S <- concat(S, S + eps_hi)`` per level — with no gathers,
-no dynamic stores, and no (P, P) constant matrices at all (the earlier
-formulation's path/select/partner/CDF matmuls would cost 80 MB of VMEM
-at P=1024).  The inverse-CDF selection uses a log-step prefix sum, and
-the per-iteration trace accumulates via a broadcast one-hot product.
+(``pmpx.tree``), so the tree is built and walked by per-level lane
+periodization (mask + slice + ``pltpu.repeat``) — no gathers, no
+dynamic stores, and no per-level (P, P) constant matrices (the earlier
+formulation's path/select/partner matmuls would cost 80 MB of VMEM at
+P=1024).  The one constant matrix kept is the (L, L) triangular cumT
+for the inverse-CDF prefix sum (4 MB VMEM at L=1024 — an MXU matmul
+beat the log-step roll ladder by a wide margin on this hardware); the
+per-iteration trace accumulates via a broadcast one-hot product.
 
 Supported configs: binary prefetching trees (N=1, depth<=10, P<=1024)
 and flat MP (depth=1, N+1<=1024), selection by one categorical draw (the
@@ -58,6 +60,21 @@ def supports(cfg) -> bool:
         P <= _MAX_P
         and (cfg.N == 1 or cfg.depth == 1)
         and cfg.stabilizer == "none"
+    )
+
+
+def spec_to_cfg(spec):
+    """The one place a SamplerSpec (algo mp|pmp) maps onto the kernel's
+    PMPConfig — experiments comparing fused vs scan paths share it so
+    step size / transition parameters can never desynchronize."""
+    from pmpx.samplers.pmp import PMPConfig
+
+    return PMPConfig(
+        N=spec.N,
+        depth=spec.depth if spec.algo == "pmp" else 1,
+        step_size=spec.step_size,
+        trans_sigma=spec.trans_sigma,
+        selection="all_first",
     )
 
 
@@ -205,7 +222,16 @@ def _chain_kernel(
         w = jnp.exp(logA - zmax) * valid  # (1, L)
         cdf = _dot(w, cumT_ref[...])  # inclusive prefix sums (MXU)
         u = jnp.sum(usel * lane0) * jnp.sum(w)
-        onehot = jnp.logical_and(cdf - w < u, cdf >= u).astype(jnp.float32)
+        # select the first lane with cdf >= u by *counting* lanes below u
+        # (np.searchsorted side="left" + clamp, exactly).  An interval
+        # test like (cdf - w < u) & (cdf >= u) recomputes each lane's
+        # lower edge in f32 and can select zero or two lanes whenever the
+        # recomputed edge differs from the neighbor's cdf by an ulp; the
+        # count is immune to that and to u landing past cdf[-1].
+        k = jnp.minimum(
+            jnp.sum((cdf < u).astype(jnp.float32)), float(P - 1)
+        )
+        onehot = (lane.astype(jnp.float32) == k).astype(jnp.float32)
         theta2 = jnp.sum(Y * onehot * valid, axis=1, keepdims=True)
         trace2 = trace + theta2 * (t_iota == t).astype(jnp.float32)
         return theta2, trace2
@@ -242,7 +268,11 @@ def make_fused_chain(
         if rng == "kernel":
             rng = "input"
     P = (cfg.N + 1) ** cfg.depth
-    L = max(P, _LANES)
+    # lane extent: full lane-tiles only (a flat-MP P like 200 would
+    # otherwise give every array a non-128-multiple lane dim — untested
+    # Mosaic layout territory); binary P is a power of two, so the
+    # pow-2 periods of _periodize always divide L
+    L = -(-max(P, _LANES) // _LANES) * _LANES
     mode = "binary" if cfg.N == 1 else "mp"
 
     xg = _pad_grid(np.asarray(target.x, np.float32))
