@@ -32,6 +32,7 @@ def run(
     set_time: float = 5.0,
     chunk: int = 200,
     algo: str = "pmp",
+    fused_call_steps: int = 100_000,
     seed: int = 0,
     out_dir: str = "results/cores",
     scale: str = "smoke",
@@ -61,20 +62,28 @@ def run(
                 selection="all_first",
             )
         if fused_chain:
-            # whole chain chunks in one Pallas kernel (see ess_msjd):
-            # ~100x more iterations inside the same wall budget
+            # whole chain chunks in one Pallas kernel (see ess_msjd).
+            # One *dispatch* carries many kernel launches: the remote
+            # transport quantizes wall-clock ~40 ms per dispatch, so a
+            # 1000-step call would be dispatch-bound at ~40 us/iter —
+            # 100k steps per call amortizes that to the kernel's own
+            # ~2-4 us/iter while staying far under the transport's
+            # long-execution limit (~0.4 s per call).
             from pmpx.kernels import fused_chain as fc
 
+            call_steps = max(chunk, fused_call_steps)
             runk = fc.make_fused_chain(
                 target, fc.spec_to_cfg(spec), chunk=min(chunk, 1000)
             )
 
-            def f(k, t, r=runk, c=chunk):
+            def f(k, t, r=runk, c=call_steps):
                 tr = r(k, t, c)
                 return tr[-1], tr
 
             f = jax.jit(f)
+            chunk_iters = call_steps
         else:
+            chunk_iters = chunk
             superstep = spec.build(target)
             f = jax.jit(
                 lambda k, t, s=superstep: run_chain(
@@ -92,7 +101,7 @@ def run(
             theta, roots = f(k, theta)
             roots.block_until_ready()
             last = np.asarray(roots)
-            iters += chunk
+            iters += chunk_iters
         err = (
             float(np.abs(np.abs(last[-chunk // 2 :]) - np.abs(TRUE)).mean())
             if last is not None
