@@ -94,9 +94,10 @@ def oracle(target, cfg, uin, theta0, num_steps, chunk):
         PMPConfig(N=1, depth=8, step_size=0.05, selection="all_first"),
         PMPConfig(N=1, depth=10, step_size=0.05, selection="all_first"),
         PMPConfig(N=255, depth=1, step_size=0.05, selection="all_first"),
+        PMPConfig(N=199, depth=1, step_size=0.05, selection="all_first"),
     ],
     ids=["binary-P4", "binary-P32", "mp-P8", "mp-P32",
-         "binary-P256", "binary-P1024", "mp-P256"],
+         "binary-P256", "binary-P1024", "mp-P256", "mp-P200"],
 )
 def test_fused_chain_matches_numpy_oracle(cfg):
     x, y = make_synthetic_linreg(jax.random.key(0), 1000)
@@ -113,7 +114,7 @@ def test_fused_chain_matches_numpy_oracle(cfg):
     # regenerate the exact injected uniforms the run used
     n_chunks = -(-steps // chunk)
     _, k_u = jax.random.split(key)
-    L = max((cfg.N + 1) ** cfg.depth, 128)
+    L = -(-max((cfg.N + 1) ** cfg.depth, 128) // 128) * 128
     uin = 1.0 - np.asarray(
         jax.random.uniform(k_u, (n_chunks, chunk * 17, L), jnp.float32)
     )
