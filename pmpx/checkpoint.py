@@ -66,6 +66,8 @@ def resume_chain(
     collect=None,
     checkpoint_every: Optional[int] = None,
     on_chunk=None,
+    bind=None,
+    bind_args=(),
 ):
     """Run a chain to ``total_steps``, resuming from ``path`` if it exists.
 
@@ -74,8 +76,21 @@ def resume_chain(
     ``on_chunk(start_step, recs)``, if given, is called after each chunk
     *before* the checkpoint is written: a crash between the two at worst
     re-runs one chunk, whose deterministic records overwrite identically.
+    NOTE: the returned records list covers only the chunks THIS call ran —
+    a resumed call starts at the checkpoint step.  Callers that need the
+    full-history trace must persist per-chunk via ``on_chunk`` (see
+    ``experiments/mnist.py``).
+
+    ``bind``/``bind_args``: thread large arrays (datasets) through the
+    chunk runners as jit *arguments* instead of closure constants —
+    ``bind`` is a contextmanager (e.g. ``target.bound_data``) entered at
+    trace time around tracers of ``bind_args``; closure-embedding a
+    full-scale dataset in the serialized HLO is what the remote-compile
+    transport rejects.
     Returns (theta, records list).
     """
+    import contextlib
+
     if os.path.exists(path):
         theta, base_key, start, _ = load_checkpoint(path)
     else:
@@ -85,20 +100,27 @@ def resume_chain(
 
     recs_all = []
     step = start
-    chunk = checkpoint_every or (total_steps - start)
+    chunk = checkpoint_every or max(total_steps - start, 1)
 
     def make_runner(n):
         @jax.jit
-        def f(start_idx, t):
-            idxs = start_idx + jnp.arange(n, dtype=jnp.uint32)
+        def f(start_idx, t, *bargs):
+            ctx = (
+                bind(*bargs) if bind is not None
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                idxs = start_idx + jnp.arange(n, dtype=jnp.uint32)
 
-            def body(state, i):
-                k = jax.random.fold_in(base_key, i)
-                s2, out = superstep(k, state)
-                rec = collect(s2, out) if collect is not None else out
-                return s2, rec
+                def body(state, i):
+                    k = jax.random.fold_in(base_key, i)
+                    s2, out = superstep(k, state)
+                    rec = (
+                        collect(s2, out) if collect is not None else out
+                    )
+                    return s2, rec
 
-            return jax.lax.scan(body, t, idxs)
+                return jax.lax.scan(body, t, idxs)
 
         return f
 
@@ -107,7 +129,7 @@ def resume_chain(
         n = min(chunk, total_steps - step)
         if n != chunk:
             f = make_runner(n)
-        theta, recs = f(jnp.asarray(step, jnp.uint32), theta)
+        theta, recs = f(jnp.asarray(step, jnp.uint32), theta, *bind_args)
         recs = jax.tree.map(np.asarray, recs)
         recs_all.append(recs)
         if on_chunk is not None:

@@ -7,13 +7,10 @@ CE posterior over LeNet, momentum scale 0.0005, leapfrog step 0.1, N=7
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.data import load_cifar10
 from pmpx.experiments.mnist import pretrain
@@ -21,6 +18,21 @@ from pmpx.metrics.recorder import save_trace
 from pmpx.models import LeNet, PackedLeNet
 from pmpx.samplers.base import run_chain
 from pmpx.targets.nn import NNPosterior
+
+
+def sampler_spec(algo: str, N: int, step_size: float,
+                 mom_scale: float) -> SamplerSpec:
+    """The CIFAR zoo's sampler configuration (cifar_{SP,MP,PMP}hmc.py
+    protocol).  Shared with nn_perf so the benchmarked superstep IS the
+    zoo's.  The reference's "N" means N+1 speculative states in a binary
+    tree; SamplerSpec.reference_nn encodes that convention."""
+    return SamplerSpec.reference_nn(
+        algo, N,
+        step_size=step_size,
+        mom_scale=mom_scale,
+        rule="mh_clamp" if algo == "pmp_hmc" else None,
+        accept_scale=1000.0 if algo == "sp_hmc" else 1.0,
+    )
 
 
 def run(
@@ -71,16 +83,7 @@ def run(
     else:
         theta0 = pretrain(target, pretrain_steps)
 
-    # the reference's "N" means N+1 speculative states in a binary tree;
-    # SamplerSpec.reference_nn encodes that convention
-    spec = SamplerSpec.reference_nn(
-        algo, N,
-        step_size=step_size,
-        mom_scale=mom_scale,
-        rule="mh_clamp" if algo == "pmp_hmc" else None,
-        accept_scale=1000.0 if algo == "sp_hmc" else 1.0,
-    )
-    superstep = spec.build(target)
+    superstep = sampler_spec(algo, N, step_size, mom_scale).build(target)
 
     @jax.jit
     def run_fn(k, t, X_tr, X_te):

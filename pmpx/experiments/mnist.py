@@ -36,6 +36,19 @@ MODELS = {
 }
 
 
+def sampler_spec(algo: str, alpha: float, N: int) -> SamplerSpec:
+    """The MNIST zoo's sampler configuration ({MH,MP,PMP}_*.py protocol:
+    alpha random walk, single-draw selection, z-score stabilization).
+    Shared with nn_perf so the benchmarked superstep IS the zoo's."""
+    if algo == "mh":
+        return SamplerSpec(algo="mh", step_size=alpha)
+    # reference convention: N means N+1 states in a binary tree
+    return SamplerSpec.reference_nn(
+        algo, N, step_size=alpha, selection="single",
+        stabilizer="zscore",
+    )
+
+
 def pretrain(target: NNPosterior, steps: int, lr: float = 1e-3):
     """Adam warm start (stand-in for the reference's pretrained .pkl)."""
     if steps <= 0:
@@ -108,15 +121,7 @@ def run(
     else:
         theta0 = pretrain(target, pretrain_steps)
 
-    if algo == "mh":
-        spec = SamplerSpec(algo="mh", step_size=alpha)
-    else:
-        # reference convention: N means N+1 states in a binary tree
-        spec = SamplerSpec.reference_nn(
-            algo, N, step_size=alpha, selection="single",
-            stabilizer="zscore",
-        )
-    superstep = spec.build(target)
+    superstep = sampler_spec(algo, alpha, N).build(target)
     # CE loss of the chosen state, from the superstep's own density
     # evaluation (no re-evaluation of the full batch per step)
     loss_of = lambda th, o: -o["root_logp"] / target.temper
@@ -130,14 +135,33 @@ def run(
         from pmpx.checkpoint import resume_chain, save_checkpoint
 
         ckpt = os.path.join(out_dir, f"{name}.ckpt")
+        trace_path = os.path.join(out_dir, f"{name}.loss.npy")
         if not (resume and os.path.exists(ckpt)):
             os.makedirs(out_dir, exist_ok=True)
             save_checkpoint(ckpt, theta0, jax.random.key(seed + 1), 0)
-        thetaF, recs = resume_chain(
+            if os.path.exists(trace_path):
+                os.remove(trace_path)
+
+        def persist(start, recs):
+            # accumulate the loss trace on disk per chunk, so a resumed
+            # run (which only returns post-crash chunks) still ends with
+            # the full-history trace; a re-run chunk overwrites its own
+            # identical records
+            arr = np.asarray(recs)
+            prev = (
+                np.load(trace_path)[:start]
+                if os.path.exists(trace_path)
+                else np.zeros((0,), arr.dtype)
+            )
+            np.save(trace_path, np.concatenate([prev, arr]))
+
+        thetaF, _ = resume_chain(
             superstep, ckpt, num_steps, collect=loss_of,
-            checkpoint_every=chunk_steps,
+            checkpoint_every=chunk_steps, on_chunk=persist,
+            # dataset as a jit argument, not a 188 MB HLO constant
+            bind=target.bound_data, bind_args=(x_tr,),
         )
-        losses = np.concatenate([np.asarray(r) for r in recs])
+        losses = np.load(trace_path)
     else:
         @jax.jit
         def run_fn(k, t, X):

@@ -39,7 +39,12 @@ from pmpx.models import (
 from pmpx.profiling import superstep_timer
 from pmpx.samplers.base import run_chain
 from pmpx.targets.nn import NNPosterior
+# the benchmarked supersteps ARE the zoo experiments' own: one shared
+# spec builder per zoo (drift between "what we time" and "what we run"
+# is impossible by construction)
+from pmpx.experiments.cifar_hmc import sampler_spec as _cifar_spec
 from pmpx.experiments.mnist import MODELS as MNIST_MODELS
+from pmpx.experiments.mnist import sampler_spec as _mnist_spec
 
 
 def _mem_stats(target, method_name: str, theta_spec):
@@ -146,25 +151,6 @@ def footprint(P: int = 8, n_train: int = 50000, class_sep: float = 1.5):
     if a and b:
         out["quarter"]["nhwc_over_packed"] = round(a / b, 2)
     return out
-
-
-def _mnist_spec(algo: str, alpha: float, N: int) -> SamplerSpec:
-    if algo == "mh":
-        return SamplerSpec(algo="mh", step_size=alpha)
-    return SamplerSpec.reference_nn(
-        algo, N, step_size=alpha, selection="single",
-        stabilizer="zscore",
-    )
-
-
-def _cifar_spec(algo: str, N: int, step_size: float,
-                mom_scale: float) -> SamplerSpec:
-    return SamplerSpec.reference_nn(
-        algo, N,
-        step_size=step_size, mom_scale=mom_scale,
-        rule="mh_clamp" if algo == "pmp_hmc" else None,
-        accept_scale=1000.0 if algo == "sp_hmc" else 1.0,
-    )
 
 
 def _time_cell(target, spec: SamplerSpec, iters: int) -> float:

@@ -103,7 +103,8 @@ def _conv2d_body(x, kernel, bias, g: Grid):
             # (C,O) x (B,C,L) -> (B,O,L): cross-correlation, same as
             # flax nn.Conv (HWIO kernel, no flip)
             out = out + jnp.einsum(
-                "co,bcl->bol", kernel[dy, dx], xs
+                "co,bcl->bol", kernel[dy, dx], xs,
+                precision=jax.lax.Precision.HIGHEST,
             )
             # pin the accumulation order: left alone, XLA tree-reduces
             # the KH*KW-term sum and keeps O(KH*KW) copies of the

@@ -66,7 +66,12 @@ def supports(cfg) -> bool:
 def spec_to_cfg(spec):
     """The one place a SamplerSpec (algo mp|pmp) maps onto the kernel's
     PMPConfig — experiments comparing fused vs scan paths share it so
-    step size / transition parameters can never desynchronize."""
+    step size / transition / stabilizer parameters can never
+    desynchronize.  The stabilizer passes through so :func:`supports`
+    rejects specs the kernel does not implement (it is stabilizer-free);
+    selection is pinned to "all_first" because the kernel traces the
+    root path, whose marginal law is one categorical draw under every
+    reference selection mode."""
     from pmpx.samplers.pmp import PMPConfig
 
     return PMPConfig(
@@ -75,6 +80,7 @@ def spec_to_cfg(spec):
         step_size=spec.step_size,
         trans_sigma=spec.trans_sigma,
         selection="all_first",
+        stabilizer=spec.stabilizer,
     )
 
 

@@ -26,6 +26,7 @@ axis are ``LeNet(remat=True)`` and ``compute_dtype=bfloat16``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pmpx.kernels import convpack as cp
@@ -36,7 +37,13 @@ __all__ = ["PackedLeNet", "PackedMnistCNN"]
 
 
 def _dense(params, x):
-    return x @ params["kernel"] + params["bias"]
+    # HIGHEST precision: these logits feed acceptance-weight densities
+    # (CLAUDE.md: default matmul precision perturbs weights ~0.5%)
+    return (
+        jnp.dot(x, params["kernel"],
+                precision=jax.lax.Precision.HIGHEST)
+        + params["bias"]
+    )
 
 
 def lenet_packed_apply(params, x, remat: bool = True, bn_axis=None):
