@@ -85,6 +85,40 @@ def test_ess_msjd_smoke(tmp_path):
     assert (tmp_path / "ess_compare.pdf").exists()
 
 
+def test_fused_chain_method_wiring(tmp_path):
+    """method='fused_chain' wires the megakernel through all three
+    protocol experiments (interpret mode on CPU) and produces finite
+    numbers; a zscore-stabilized spec is rejected, not silently run."""
+    import pytest as _pytest
+
+    from pmpx.experiments import cores_sweep, ess_msjd, time_analysis
+    from pmpx.kernels import fused_chain as fc
+    from pmpx.config import SamplerSpec
+
+    out = ess_msjd.run(
+        n_data=256, Ps=(8,), num_steps=48, burn_in=8,
+        algos=("mp",), out_dir=str(tmp_path / "e"),
+        method="fused_chain",
+    )
+    assert out["mp_P8_ess_per_s"] > 0
+    out = cores_sweep.run(
+        n_data=256, Ps=(8,), set_time=0.5, chunk=16,
+        fused_call_steps=16, method="fused_chain",
+        out_dir=str(tmp_path / "c"),
+    )
+    assert out["P8_iters"] > 0
+    out = time_analysis.run(
+        data_sizes=(500,), Ps=(4,), iters=16,
+        method="fused_chain", out_dir=str(tmp_path / "t"),
+    )
+    assert out["pmp_n500_P4_method"] == "fused_chain"
+    assert out["pmp_n500_P4_us"] > 0
+    # the stabilizer gate: zscore specs are not the kernel's chain
+    spec = SamplerSpec(algo="mp", N=7, step_size=0.1,
+                       stabilizer="zscore")
+    assert not fc.supports(fc.spec_to_cfg(spec))
+
+
 def test_render_convergence_figure(tmp_path):
     from pmpx.experiments import convergence
     from pmpx.experiments.plots import render_convergence
