@@ -34,12 +34,20 @@ def run(
     out_dir: str = "results/ess",
     scale: str = "smoke",
     method: str = "auto",
+    chains: int = 1,
 ):
+    """``chains > 1`` (fused path only): run that many independent
+    chains vmapped over the megakernel on one chip and report
+    *aggregate* ESS/s and MSJD/s (summed across chains) — the
+    multi-chain sampling-throughput figure of merit.  The reference's
+    counterpart is hand-pinning independent processes to GPUs."""
     Ps = as_tuple(Ps)
     algos = as_tuple(algos)
     if scale == "paper":
         n_data, num_steps, burn_in = 100000, 1_000_000, 2000
     fused_chain = method == "fused_chain"
+    if chains > 1 and not fused_chain:
+        raise ValueError("chains > 1 requires method='fused_chain'")
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
     target = BayesLinReg(
         x, y, temper=1.0 / 2000.0,
@@ -70,9 +78,23 @@ def run(
                 runk = fc.make_fused_chain(
                     target, fc.spec_to_cfg(spec), chunk=1000
                 )
-                f = jax.jit(
-                    lambda k, t, r=runk: (t, r(k, t, num_steps))
-                )
+                if chains > 1:
+                    # sequential lax.map, not vmap: one TensorCore
+                    # serializes the chains either way, and Mosaic
+                    # rejects batched SMEM scalar blocks under vmap
+                    f = jax.jit(
+                        lambda k, t, r=runk: (
+                            t,
+                            jax.lax.map(
+                                lambda kk: r(kk, t, num_steps),
+                                jax.random.split(k, chains),
+                            ),
+                        )
+                    )
+                else:
+                    f = jax.jit(
+                        lambda k, t, r=runk: (t, r(k, t, num_steps))
+                    )
             else:
                 superstep = spec.build(target)
 
@@ -88,12 +110,23 @@ def run(
             _, roots = f(jax.random.key(seed), theta0)
             roots.block_until_ready()
             dt = time.perf_counter() - t0
-            r = np.asarray(roots)[burn_in:]
-            e = float(ess(jnp.asarray(r[:, 0])))
-            m = float(msjd(jnp.asarray(r)))
-            rows.append((algo, P, e / dt, m / dt * len(r), dt))
-            out[f"{algo}_P{P}_ess_per_s"] = e / dt
-            out[f"{algo}_P{P}_msjd_per_s"] = m / dt * len(r)
+            if chains > 1:
+                rc = np.asarray(roots)[:, burn_in:]  # (C, steps, 3)
+                e = float(sum(
+                    float(ess(jnp.asarray(c[:, 0]))) for c in rc
+                ))
+                m = float(sum(
+                    float(msjd(jnp.asarray(c))) * len(c) for c in rc
+                )) / dt
+                key_sfx = f"_chains{chains}"
+            else:
+                r = np.asarray(roots)[burn_in:]
+                e = float(ess(jnp.asarray(r[:, 0])))
+                m = float(msjd(jnp.asarray(r))) * len(r) / dt
+                key_sfx = ""
+            rows.append((algo, P, e / dt, m, dt))
+            out[f"{algo}_P{P}{key_sfx}_ess_per_s"] = e / dt
+            out[f"{algo}_P{P}{key_sfx}_msjd_per_s"] = m
     save_trace(
         out_dir,
         "ess_msjd",
