@@ -98,9 +98,12 @@ def test_fused_chain_method_wiring(tmp_path):
     out = ess_msjd.run(
         n_data=256, Ps=(8,), num_steps=48, burn_in=8,
         algos=("mp",), out_dir=str(tmp_path / "e"),
-        method="fused_chain",
+        method="fused_chain", chains=2,
     )
-    assert out["mp_P8_ess_per_s"] > 0
+    assert out["mp_P8_chains2_ess_per_s"] > 0
+    with _pytest.raises(ValueError, match="chains"):
+        ess_msjd.run(n_data=256, Ps=(8,), num_steps=8, chains=2,
+                     method="xla", out_dir=str(tmp_path / "e2"))
     out = cores_sweep.run(
         n_data=256, Ps=(8,), set_time=0.5, chunk=16,
         fused_call_steps=16, method="fused_chain",
