@@ -48,7 +48,8 @@ def render_ess_msjd(summary_json: str, out_dir: str):
             plt.xscale("log", base=2)
             plt.xlabel("parallelism P")
             plt.ylabel(metric.replace("_", "/"))
-            plt.legend()
+            if plt.gca().get_legend_handles_labels()[0]:
+                plt.legend()
             fig.savefig(os.path.join(out_dir, fname))
         return True
 
