@@ -102,12 +102,17 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "pmp_p1024_n100k_us_per_iter",
+                # the fused megakernel gets its own metric name: the
+                # pre-r2 name `pmp_p1024_n100k_us_per_iter` stays bound
+                # to the O(P*n)-sweep kernel (the like-for-like
+                # counterpart of 100000_PMP.cu) so the name-stable
+                # series never silently changes per-iteration work
+                "metric": "pmp_p1024_n100k_fused_us_per_iter",
                 "value": round(fused_us, 3),
                 "unit": "us",
                 "vs_baseline": round(BASELINE_US / fused_us, 2),
                 "path": "fused_chain megakernel (production)",
-                "sweep_us_per_iter": round(sweep_us, 3),
+                "pmp_p1024_n100k_us_per_iter": round(sweep_us, 3),
                 "sweep_vs_baseline": round(BASELINE_US / sweep_us, 2),
             }
         )

@@ -18,7 +18,65 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "resume_chain"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "resume_chain",
+    "TraceAccumulator",
+]
+
+
+class TraceAccumulator:
+    """Accumulate per-chunk trace arrays on disk (``on_chunk`` helper).
+
+    A resumed ``resume_chain`` call only returns the chunks it ran, so
+    full-history traces must be persisted per chunk.  Each named array is
+    appended to ``<out_dir>/<name>.<key>.npy``, truncated at the chunk's
+    start step so a re-run chunk overwrites its own identical records.
+    Also records wall-clock per chunk (``chunk_walls``): the first chunk
+    includes jit compilation, so steady-state per-step timing is
+    ``median(diff(chunk_walls[1:]))`` — see ``steady_s_per_step``.
+    """
+
+    def __init__(self, out_dir: str, name: str, keys, fresh: bool = True):
+        import time
+
+        self.out_dir = out_dir
+        self.keys = tuple(keys)
+        self.paths = {
+            k: os.path.join(out_dir, f"{name}.{k}.npy") for k in self.keys
+        }
+        self.chunk_walls = []
+        self._t0 = time.time()
+        self._time = time.time
+        os.makedirs(out_dir, exist_ok=True)
+        if fresh:
+            for p in self.paths.values():
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def __call__(self, start: int, recs):
+        if not isinstance(recs, (tuple, list)):
+            recs = (recs,)
+        for k, arr in zip(self.keys, recs):
+            arr = np.asarray(arr)
+            p = self.paths[k]
+            prev = (
+                np.load(p)[:start] if os.path.exists(p)
+                else np.zeros((0,) + arr.shape[1:], arr.dtype)
+            )
+            np.save(p, np.concatenate([prev, arr]))
+        self.chunk_walls.append(self._time() - self._t0)
+
+    def load(self, key=None):
+        return np.load(self.paths[key or self.keys[0]])
+
+    def steady_s_per_step(self, chunk_steps: int):
+        """Per-step wall time excluding the first (compiling) chunk."""
+        diffs = np.diff([0.0] + self.chunk_walls)
+        if len(diffs) < 2:
+            return None
+        return float(np.median(diffs[1:]) / chunk_steps)
 
 
 def save_checkpoint(

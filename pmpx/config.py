@@ -53,10 +53,12 @@ class SamplerSpec:
         """
         from pmpx import tree
 
-        depth = tree.binary_depth(N + 1)
         if algo in ("pmp", "pmp_hmc", "psp"):
-            return cls(algo=algo, N=1, depth=depth, **kw)
-        return cls(algo=algo, N=N, depth=depth, **kw)
+            return cls(algo=algo, N=1, depth=tree.binary_depth(N + 1), **kw)
+        # flat samplers: depth=1 so the spec carries no phantom tree shape
+        # (a depth-3 mp spec would imply 512 states to any consumer that
+        # honored it)
+        return cls(algo=algo, N=N, depth=1, **kw)
 
     def build(self, target):
         """Return the superstep for this spec over ``target``."""

@@ -21,6 +21,23 @@ import numpy as np
 __all__ = ["load_mnist", "load_cifar10"]
 
 
+def _flip_labels(y, frac: float, key, classes: int = 10):
+    """Replace a ``frac`` fraction of labels with uniform random ones.
+
+    Irreducible label noise puts a hard ceiling (< 100%) on every
+    sampler's accuracy and a floor on the loss, keeping long-run curves
+    comparable *below* saturation — the synthetic stand-ins are otherwise
+    linearly separable in 784+ dims, so 500k-step chains drive loss to ~0
+    and compress the MH/MP/PMP ordering against the ceiling
+    (VERDICT r2 "mnist_paper saturates")."""
+    if frac <= 0.0:
+        return y
+    k_mask, k_new = jax.random.split(key)
+    flip = jax.random.uniform(k_mask, y.shape) < frac
+    y_new = jax.random.randint(k_new, y.shape, 0, classes)
+    return jnp.where(flip, y_new, y)
+
+
 def _data_dir() -> str:
     return os.environ.get("PMPX_DATA_DIR", "./data")
 
@@ -62,30 +79,49 @@ def _synthetic_images(
     return x_train, y_train, x_test, y_test
 
 
+def _with_label_noise(data, label_noise: float, seed: int):
+    if label_noise <= 0.0:
+        return data
+    x_tr, y_tr, x_te, y_te = data
+    k = jax.random.key(seed + 7919)
+    k_tr, k_te = jax.random.split(k)
+    return (
+        x_tr,
+        _flip_labels(y_tr, label_noise, k_tr),
+        x_te,
+        _flip_labels(y_te, label_noise, k_te),
+    )
+
+
 def load_mnist(
     n_train: int = 60000,
     n_test: int = 10000,
     seed: int = 0,
     class_sep: float = 1.5,
+    label_noise: float = 0.0,
 ):
     """(x_train, y_train, x_test, y_test); images (N, 28, 28) float32,
     normalized; labels int32.  Reads ``mnist.npz`` from the data dir when
-    present, else synthesizes (``class_sep`` controls difficulty)."""
+    present, else synthesizes (``class_sep`` controls difficulty;
+    ``label_noise`` flips that fraction of train AND test labels to cap
+    achievable accuracy below 100%)."""
     found = _try_npz("mnist.npz")
     if found is not None:
         x_tr, y_tr, x_te, y_te = found
         x_tr = (x_tr.astype(jnp.float32) / 255.0 - 0.1307) / 0.3081
         x_te = (x_te.astype(jnp.float32) / 255.0 - 0.1307) / 0.3081
-        return (
+        data = (
             x_tr[:n_train],
             y_tr[:n_train].astype(jnp.int32),
             x_te[:n_test],
             y_te[:n_test].astype(jnp.int32),
         )
-    return _synthetic_images(
-        jax.random.key(seed), (28, 28), n_train, n_test,
-        class_sep=class_sep,
-    )
+    else:
+        data = _synthetic_images(
+            jax.random.key(seed), (28, 28), n_train, n_test,
+            class_sep=class_sep,
+        )
+    return _with_label_noise(data, label_noise, seed)
 
 
 def load_cifar10(
@@ -93,6 +129,7 @@ def load_cifar10(
     n_test: int = 10000,
     seed: int = 1,
     class_sep: float = 1.5,
+    label_noise: float = 0.0,
 ):
     """(x_train, y_train, x_test, y_test); images (N, 32, 32, 3) float32."""
     found = _try_npz("cifar10.npz")
@@ -100,13 +137,15 @@ def load_cifar10(
         x_tr, y_tr, x_te, y_te = found
         x_tr = x_tr.astype(jnp.float32) / 255.0
         x_te = x_te.astype(jnp.float32) / 255.0
-        return (
+        data = (
             x_tr[:n_train],
             y_tr[:n_train].astype(jnp.int32),
             x_te[:n_test],
             y_te[:n_test].astype(jnp.int32),
         )
-    return _synthetic_images(
-        jax.random.key(seed), (32, 32, 3), n_train, n_test,
-        class_sep=class_sep,
-    )
+    else:
+        data = _synthetic_images(
+            jax.random.key(seed), (32, 32, 3), n_train, n_test,
+            class_sep=class_sep,
+        )
+    return _with_label_noise(data, label_noise, seed)

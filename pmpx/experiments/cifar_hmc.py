@@ -49,15 +49,29 @@ def run(
     scale: str = "smoke",
     warm_start: str = "",
     class_sep: float = 1.5,
+    label_noise: float = 0.0,
     layout: str = "nhwc",
     remat: bool = False,
     proposal_chunk=None,
     compute_dtype: str = "",
+    chunk_steps=None,
+    resume: bool = False,
 ):
+    """``scale="paper"`` is the reference's committed protocol: full-batch
+    50000 train / 10000 test, 50,000 supersteps (the committed
+    ``Cifar-10/{MP,PMP,SP}/*.npy`` traces are shape (50000,)), loss +
+    train-acc + test-acc recorded every superstep (``cifar_PMPhmc.py:
+    164-170``).  ``chunk_steps`` runs the chain as checkpointed device
+    calls (``pmpx.checkpoint.resume_chain``) — required at paper scale,
+    where one monolithic 50k-step device execution outlives the remote
+    TPU transport; ``resume=True`` continues from the checkpoint."""
     if scale == "paper":
-        n_train, n_test = 50000, 10000
+        n_train, n_test, num_steps = 50000, 10000, 50000
+        if chunk_steps is None:
+            chunk_steps = 500
     x_tr, y_tr, x_te, y_te = load_cifar10(
-        n_train=n_train, n_test=n_test, class_sep=class_sep
+        n_train=n_train, n_test=n_test, class_sep=class_sep,
+        label_noise=label_noise,
     )
     # NHWC (plain flax) measured ~10x faster and ~2x leaner than the
     # channel-packed executor on v5e (artifacts/nn_perf); layout="packed"
@@ -84,33 +98,86 @@ def run(
         theta0 = pretrain(target, pretrain_steps)
 
     superstep = sampler_spec(algo, N, step_size, mom_scale).build(target)
+    name = f"cifar_{algo}"
+    meta = {"N": N, "num_steps": num_steps}
 
-    @jax.jit
-    def run_fn(k, t, X_tr, X_te):
-        # datasets as jit arguments: full-scale CIFAR (600 MB) embedded
-        # as HLO constants exceeds remote-compile transport limits
-        with target.bound_data(X_tr):
-            def collect(theta, out):
-                loss = -target.log_prob(theta)
-                acc_tr = target.accuracy(theta)
-                acc_te = target.accuracy(theta, X_te, y_te)
-                return loss, acc_tr, acc_te
+    if chunk_steps:
+        import contextlib
+        import os
 
-            return run_chain(
-                superstep, k, t, num_steps, collect=collect
+        from pmpx.checkpoint import (
+            TraceAccumulator, resume_chain, save_checkpoint,
+        )
+
+        ckpt = os.path.join(out_dir, f"{name}.ckpt")
+        fresh = not (resume and os.path.exists(ckpt))
+        acc = TraceAccumulator(
+            out_dir, name, ("loss", "train_acc", "test_acc"), fresh=fresh
+        )
+        if fresh:
+            save_checkpoint(ckpt, theta0, jax.random.key(seed + 1), 0)
+
+        held = {}
+
+        @contextlib.contextmanager
+        def bind(X_tr, X_te):
+            # both datasets as jit arguments: full-scale CIFAR (600 MB
+            # train + 123 MB test) embedded as HLO constants exceeds the
+            # remote-compile transport; the test split rides through a
+            # trace-time stash read by collect below
+            with target.bound_data(X_tr):
+                held["x_te"] = X_te
+                try:
+                    yield
+                finally:
+                    held.pop("x_te", None)
+
+        def collect(theta, out):
+            return (
+                -target.log_prob(theta),
+                target.accuracy(theta),
+                target.accuracy(theta, held["x_te"], y_te),
             )
 
-    _, (losses, acc_tr, acc_te) = run_fn(
-        jax.random.key(seed + 1), theta0, x_tr, x_te
-    )
-    arrays = {
-        "loss": np.asarray(losses),
-        "train_acc": np.asarray(acc_tr),
-        "test_acc": np.asarray(acc_te),
-    }
-    save_trace(out_dir, f"cifar_{algo}", arrays, {"N": N})
-    return {
+        resume_chain(
+            superstep, ckpt, num_steps, collect=collect,
+            checkpoint_every=chunk_steps, on_chunk=acc,
+            bind=bind, bind_args=(x_tr, x_te),
+        )
+        arrays = {k: acc.load(k) for k in acc.keys}
+        steady = acc.steady_s_per_step(chunk_steps)
+        if steady is not None:
+            meta["steady_ms_per_superstep"] = steady * 1e3
+    else:
+        @jax.jit
+        def run_fn(k, t, X_tr, X_te):
+            # datasets as jit arguments: full-scale CIFAR (600 MB)
+            # embedded as HLO constants exceeds remote-compile limits
+            with target.bound_data(X_tr):
+                def collect(theta, out):
+                    loss = -target.log_prob(theta)
+                    acc_tr = target.accuracy(theta)
+                    acc_te = target.accuracy(theta, X_te, y_te)
+                    return loss, acc_tr, acc_te
+
+                return run_chain(
+                    superstep, k, t, num_steps, collect=collect
+                )
+
+        _, (losses, acc_tr, acc_te) = run_fn(
+            jax.random.key(seed + 1), theta0, x_tr, x_te
+        )
+        arrays = {
+            "loss": np.asarray(losses),
+            "train_acc": np.asarray(acc_tr),
+            "test_acc": np.asarray(acc_te),
+        }
+    save_trace(out_dir, name, arrays, meta)
+    out = {
         "loss_first": float(arrays["loss"][0]),
         "loss_last": float(arrays["loss"][-1]),
         "test_acc_last": float(arrays["test_acc"][-1]),
     }
+    if "steady_ms_per_superstep" in meta:
+        out["steady_ms_per_superstep"] = meta["steady_ms_per_superstep"]
+    return out

@@ -37,10 +37,12 @@ def run(
     chains: int = 1,
 ):
     """``chains > 1`` (fused path only): run that many independent
-    chains vmapped over the megakernel on one chip and report
-    *aggregate* ESS/s and MSJD/s (summed across chains) — the
-    multi-chain sampling-throughput figure of merit.  The reference's
-    counterpart is hand-pinning independent processes to GPUs."""
+    chains sequentially via ``lax.map`` inside one jit (one TensorCore
+    serializes them either way; Mosaic rejects batched SMEM scalar
+    blocks under vmap) and report *aggregate* ESS/s and MSJD/s (summed
+    across chains) — the multi-chain sampling-throughput figure of
+    merit.  The reference's counterpart is hand-pinning independent
+    processes to GPUs."""
     Ps = as_tuple(Ps)
     algos = as_tuple(algos)
     if scale == "paper":

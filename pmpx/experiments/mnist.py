@@ -85,6 +85,7 @@ def run(
     out_dir: str = "results/mnist",
     scale: str = "smoke",
     class_sep: float = 1.5,
+    label_noise: float = 0.0,
     proposal_chunk=None,
     warm_start: str = "",
     layout: str = "nhwc",
@@ -103,7 +104,8 @@ def run(
         if chunk_steps is None:
             chunk_steps = 10000
     x_tr, y_tr, x_te, y_te = load_mnist(
-        n_train=n_train, n_test=n_test, class_sep=class_sep
+        n_train=n_train, n_test=n_test, class_sep=class_sep,
+        label_noise=label_noise,
     )
     target = NNPosterior(
         MODELS[model](layout), x_tr, y_tr, temper=temper,
@@ -129,39 +131,31 @@ def run(
     name = reference_style_name(
         algo.upper(), alpha, num_steps, model=model, N=N
     )
+    steady_ms = None
     if chunk_steps:
         import os
 
-        from pmpx.checkpoint import resume_chain, save_checkpoint
+        from pmpx.checkpoint import (
+            TraceAccumulator, resume_chain, save_checkpoint,
+        )
 
         ckpt = os.path.join(out_dir, f"{name}.ckpt")
-        trace_path = os.path.join(out_dir, f"{name}.loss.npy")
-        if not (resume and os.path.exists(ckpt)):
-            os.makedirs(out_dir, exist_ok=True)
+        fresh = not (resume and os.path.exists(ckpt))
+        # per-chunk disk accumulation: a resumed run (which only returns
+        # post-crash chunks) still ends with the full-history trace
+        acc = TraceAccumulator(out_dir, name, ("loss",), fresh=fresh)
+        if fresh:
             save_checkpoint(ckpt, theta0, jax.random.key(seed + 1), 0)
-            if os.path.exists(trace_path):
-                os.remove(trace_path)
-
-        def persist(start, recs):
-            # accumulate the loss trace on disk per chunk, so a resumed
-            # run (which only returns post-crash chunks) still ends with
-            # the full-history trace; a re-run chunk overwrites its own
-            # identical records
-            arr = np.asarray(recs)
-            prev = (
-                np.load(trace_path)[:start]
-                if os.path.exists(trace_path)
-                else np.zeros((0,), arr.dtype)
-            )
-            np.save(trace_path, np.concatenate([prev, arr]))
 
         thetaF, _ = resume_chain(
             superstep, ckpt, num_steps, collect=loss_of,
-            checkpoint_every=chunk_steps, on_chunk=persist,
+            checkpoint_every=chunk_steps, on_chunk=acc,
             # dataset as a jit argument, not a 188 MB HLO constant
             bind=target.bound_data, bind_args=(x_tr,),
         )
-        losses = np.load(trace_path)
+        losses = acc.load("loss")
+        steady = acc.steady_s_per_step(chunk_steps)
+        steady_ms = None if steady is None else steady * 1e3
     else:
         @jax.jit
         def run_fn(k, t, X):
@@ -175,10 +169,16 @@ def run(
         losses = np.asarray(losses)
     acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
     acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))
-    save_trace(out_dir, name, {"loss": losses}, {"model": model})
-    return {
+    meta = {"model": model}
+    if steady_ms is not None:
+        meta["steady_ms_per_superstep"] = steady_ms
+    save_trace(out_dir, name, {"loss": losses}, meta)
+    out = {
         "loss_first": float(losses[0]),
         "loss_last": float(losses[-1]),
         "train_acc": acc_tr,
         "test_acc": acc_te,
     }
+    if steady_ms is not None:
+        out["steady_ms_per_superstep"] = steady_ms
+    return out

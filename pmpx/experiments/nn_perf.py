@@ -71,6 +71,11 @@ def _mem_stats(target, method_name: str, theta_spec):
             out["hbm_needed_gib"] = float(m.group(1))
             out["hbm_capacity_gib"] = float(m.group(2))
             out["peak_gib"] = float(m.group(1))
+        else:
+            # best-effort parse missed (XLA error phrasing drifted?):
+            # keep the raw message so the drift is visible in the
+            # artifact instead of silently dropping the hbm fields
+            out["oom_error_unparsed"] = str(e)[:500]
         return out
     mem = compiled.memory_analysis()
     out = {}

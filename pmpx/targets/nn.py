@@ -104,7 +104,18 @@ class NNPosterior:
         shipped inside the serialized HLO, which at full reference scale
         (50k CIFAR images = 600 MB) exceeds what remote-compile transports
         accept — and wastes compile-cache keys on data bytes.
+
+        Single-trace-at-a-time: the rebinding is shared mutable state, so
+        nested/concurrent binds of the same posterior would cross-bind
+        datasets — guarded with a loud error.
         """
+        if getattr(self, "_data_bound", False):
+            raise RuntimeError(
+                "bound_data is not reentrant: this NNPosterior already "
+                "has a dataset bound (nested or concurrent traces of one "
+                "posterior would cross-bind datasets)"
+            )
+        self._data_bound = True
         old_x, old_y = self.X, self.Y
         self.X = X if self.compute_dtype is None else X.astype(
             self.compute_dtype
@@ -115,6 +126,7 @@ class NNPosterior:
             yield self
         finally:
             self.X, self.Y = old_x, old_y
+            self._data_bound = False
 
     def init_theta(self) -> jnp.ndarray:
         """Raveled freshly-initialized parameters (the reference warm-starts
