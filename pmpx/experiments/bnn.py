@@ -30,7 +30,7 @@ def run(
     hidden: int = 1024,
     step_size: float = 0.1,
     mom_scale: float = 0.0005,
-    num_steps: int = 30,
+    num_steps=None,
     n_train: int = 4096,
     n_test: int = 1024,
     seed: int = 0,
@@ -48,9 +48,13 @@ def run(
     ``chunk_steps`` makes it checkpoint-resumable and yields a
     compile-excluded steady-state ms/superstep."""
     if scale == "paper":
-        n_train, n_test, num_steps = 60000, 10000, 30000
+        n_train, n_test = 60000, 10000
+        if num_steps is None:
+            num_steps = 30000
         if chunk_steps is None:
             chunk_steps = 1000
+    elif num_steps is None:
+        num_steps = 30
     N = 2**n - 1
     depth = max(tree.binary_depth(N + 1), 1)
     x_tr, y_tr, x_te, y_te = load_mnist(

@@ -40,7 +40,7 @@ def run(
     N: int = 7,
     step_size: float = 0.1,
     mom_scale: float = 0.0005,
-    num_steps: int = 10,
+    num_steps=None,
     n_train: int = 2048,
     n_test: int = 512,
     pretrain_steps: int = 30,
@@ -66,9 +66,13 @@ def run(
     where one monolithic 50k-step device execution outlives the remote
     TPU transport; ``resume=True`` continues from the checkpoint."""
     if scale == "paper":
-        n_train, n_test, num_steps = 50000, 10000, 50000
+        n_train, n_test = 50000, 10000
+        if num_steps is None:
+            num_steps = 50000
         if chunk_steps is None:
             chunk_steps = 500
+    elif num_steps is None:
+        num_steps = 10
     x_tr, y_tr, x_te, y_te = load_cifar10(
         n_train=n_train, n_test=n_test, class_sep=class_sep,
         label_noise=label_noise,

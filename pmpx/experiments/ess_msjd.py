@@ -19,9 +19,77 @@ import numpy as np
 from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.experiments._common import as_tuple
-from pmpx.metrics import ess, msjd
+from pmpx.metrics import ess, ess_per_dim, msjd
 from pmpx.metrics.recorder import save_trace
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
+
+
+def _emit_all_cell(
+    target, spec, theta0, num_steps, burn_in, emit_chunk, out_dir,
+    seed, keep_emit, tag,
+):
+    """One emit-all protocol cell: returns
+    (root_ess, root_msjd_sum, all_ess, all_msjd_sum, wall_s)."""
+    import os
+
+    from pmpx.samplers.base import run_chain
+
+    superstep = spec.build(target)
+
+    def make_runner(n):
+        @jax.jit
+        def f(k, t):
+            return run_chain(
+                superstep, k, t, n, collect=lambda th, o: o["samples"]
+            )
+
+        return f
+
+    os.makedirs(out_dir, exist_ok=True)
+    colpath = os.path.join(out_dir, f"emit_{tag}.npy")
+    P = (spec.N + 1) ** spec.depth if spec.algo == "pmp" else spec.N + 1
+    cols = np.lib.format.open_memmap(
+        colpath, mode="w+", dtype=np.float32, shape=(P, num_steps)
+    )
+    roots = np.empty((num_steps, 3), np.float32)
+    theta = theta0
+    key = jax.random.key(seed)
+    runner = make_runner(emit_chunk)
+    sq_sum, n_jumps, last = 0.0, 0, None
+    t0 = time.perf_counter()
+    for s in range(0, num_steps, emit_chunk):
+        n = min(emit_chunk, num_steps - s)
+        if n != emit_chunk:
+            runner = make_runner(n)
+        theta, samples = runner(jax.random.fold_in(key, s), theta)
+        sm = np.asarray(samples)  # (n, P, 3)
+        cols[:, s:s + n] = np.ascontiguousarray(sm[:, :, 0].T)
+        roots[s:s + n] = sm[:, 0, :]
+        flat = sm.reshape(n * P, 3).astype(np.float64)
+        if last is not None:
+            flat = np.concatenate([last[None, :], flat], axis=0)
+        d = np.diff(flat, axis=0)
+        sq_sum += float((d * d).sum())
+        n_jumps += d.shape[0]
+        last = flat[-1]
+    dt = time.perf_counter() - t0
+
+    root_e = float(ess(jnp.asarray(roots[burn_in:, 0])))
+    root_m = float(msjd(jnp.asarray(roots[burn_in:]))) * (
+        num_steps - burn_in
+    )
+    # per-draw-slot stream ESS (the reference's dump streams as chains),
+    # batched so the FFTs stay within device memory
+    all_e = 0.0
+    B = 16
+    for j in range(0, P, B):
+        blk = jnp.asarray(cols[j:j + B, burn_in:].T)  # (n, <=B)
+        all_e += float(jnp.sum(ess_per_dim(blk)))
+    all_m = sq_sum  # MSJD-rate numerator over the flattened stream
+    del cols
+    if not keep_emit:
+        os.remove(colpath)
+    return root_e, root_m, all_e, all_m, dt
 
 
 def run(
@@ -35,6 +103,9 @@ def run(
     scale: str = "smoke",
     method: str = "auto",
     chains: int = 1,
+    trace: str = "root",
+    emit_chunk: int = 20000,
+    keep_emit: bool = False,
 ):
     """``chains > 1`` (fused path only): run that many independent
     chains sequentially via ``lax.map`` inside one jit (one TensorCore
@@ -42,7 +113,26 @@ def run(
     blocks under vmap) and report *aggregate* ESS/s and MSJD/s (summed
     across chains) — the multi-chain sampling-throughput figure of
     merit.  The reference's counterpart is hand-pinning independent
-    processes to GPUs."""
+    processes to GPUs.
+
+    ``trace`` selects the estimator protocol:
+
+    * ``"root"`` — ESS/MSJD over the chain's root path (one state per
+      superstep).  This was the r1/r2 default and is a *divergence*
+      from the reference, which dumps every proposal's resampled draw
+      each iteration (``ess_per_s_MP.cu:265-278``).
+    * ``"all"`` — reference protocol fidelity: all P categorical draws
+      are emitted per superstep (``selection="all_first"``); ESS is the
+      sum of per-draw-slot stream ESSs (the reference's offline
+      analysis treats the P dump streams as chains, ``skewness.ipynb``)
+      and MSJD is over the iteration-major flattened emitted stream.
+      Root-path numbers are reported alongside from the same run.
+      Scan path only (the megakernel traces the root path); the wall
+      clock includes the device->host emission the protocol requires
+      (the reference's txt dumps sat inside its timed loop too).
+      Emission is chunked (``emit_chunk`` supersteps per device call)
+      and spooled to a disk memmap (deleted unless ``keep_emit``).
+    """
     Ps = as_tuple(Ps)
     algos = as_tuple(algos)
     if scale == "paper":
@@ -50,6 +140,13 @@ def run(
     fused_chain = method == "fused_chain"
     if chains > 1 and not fused_chain:
         raise ValueError("chains > 1 requires method='fused_chain'")
+    if trace not in ("root", "all"):
+        raise ValueError(f"unknown trace mode {trace!r}")
+    if trace == "all" and (fused_chain or chains > 1):
+        raise ValueError(
+            "trace='all' needs the scan path (the megakernel traces the "
+            "root path only); use method='auto' and chains=1"
+        )
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
     target = BayesLinReg(
         x, y, temper=1.0 / 2000.0,
@@ -70,6 +167,18 @@ def run(
                     algo="mp", N=P - 1, step_size=0.02,
                     selection="all_first",
                 )
+            if trace == "all":
+                root_e, root_m, all_e, all_m, dt = _emit_all_cell(
+                    target, spec, theta0, num_steps, burn_in,
+                    emit_chunk, out_dir, seed, keep_emit,
+                    tag=f"{algo}_P{P}",
+                )
+                rows.append((algo, P, all_e / dt, all_m / dt, dt))
+                out[f"{algo}_P{P}_all_ess_per_s"] = all_e / dt
+                out[f"{algo}_P{P}_all_msjd_per_s"] = all_m / dt
+                out[f"{algo}_P{P}_ess_per_s"] = root_e / dt
+                out[f"{algo}_P{P}_msjd_per_s"] = root_m / dt
+                continue
             if fused_chain:
                 # whole chain chunks inside one Pallas kernel: the
                 # per-superstep op floor disappears, multiplying ESS/s

@@ -76,7 +76,7 @@ def run(
     algo: str = "pmp",
     alpha: float = 1e-4,
     N: int = 7,
-    num_steps: int = 300,
+    num_steps=None,
     n_train: int = 4096,
     n_test: int = 1024,
     pretrain_steps: int = 50,
@@ -100,9 +100,22 @@ def run(
     it makes the reference-protocol runs crash-resumable (``resume=True``
     continues from the checkpoint)."""
     if scale == "paper":
-        n_train, n_test, num_steps = 60000, 10000, 500000
+        # the reference's per-model step counts: FC 500k (PMP_FC.py),
+        # CNN 250k (PMP_CNN.py), LSTM 1M (PMP_LSTM.py).  An explicit
+        # num_steps still wins — prefix runs at an honest step count
+        # (embedded in the trace name) when full scale exceeds a round's
+        # chip budget.
+        n_train, n_test = 60000, 10000
+        if num_steps is None:
+            num_steps = {
+                "FC": 500000, "CNN": 250000, "LSTM": 1000000,
+            }[model]
         if chunk_steps is None:
-            chunk_steps = 10000
+            chunk_steps = {
+                "FC": 10000, "CNN": 2000, "LSTM": 5000,
+            }[model]
+    elif num_steps is None:
+        num_steps = 300
     x_tr, y_tr, x_te, y_te = load_mnist(
         n_train=n_train, n_test=n_test, class_sep=class_sep,
         label_noise=label_noise,

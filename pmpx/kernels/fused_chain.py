@@ -24,11 +24,22 @@ for the inverse-CDF prefix sum (4 MB VMEM at L=1024 — an MXU matmul
 beat the log-step roll ladder by a wide margin on this hardware); the
 per-iteration trace accumulates via a broadcast one-hot product.
 
-Supported configs: binary prefetching trees (N=1, depth<=10, P<=1024)
-and flat MP (depth=1, N+1<=1024), selection by one categorical draw (the
-root path of every reference selection mode), stabilizer "none".
-The in-kernel PRNG stream differs from jax.random, so agreement with the
-XLA path is statistical (tested) rather than bitwise.
+Supported configs: binary prefetching trees (N=1, depth<=10, P<=1024),
+flat MP (depth=1, N+1<=1024), and general (N, depth) multi-proposal
+trees with power-of-two base N+1 (the reference's own convention,
+N = 2**k - 1) — including the reference's flagship 512-node
+N_step=7 x depth=3 cell (``conv_pmp.cu:85-88``).  The general walk
+needs no gathers either: per level i the sibling-group sums (member
+count, sum of positions, sum of squares, exp-weight total) are one
+matmul against a constant (L, L) 0/1 group-membership matrix
+``M_i[b, x] = [b < base**(i+1)][b = x (mod base**i)]``, which is
+simultaneously the segmented reduction *and* the broadcast back to
+every lane (the result is periodic in the group residue) — the
+MXU-native form of ``conv_pmp.cu``'s host-built ``tran_table``.
+Selection is one categorical draw (the root path of every reference
+selection mode), stabilizer "none".  The in-kernel PRNG stream differs
+from jax.random, so agreement with the XLA path is statistical
+(tested) rather than bitwise.
 
 Reference counterparts: the per-iteration host loops of
 ``conv_mp.cu:180-264`` / ``500_MP.cu`` / ``500_PMP.cu`` — the cells where
@@ -53,14 +64,27 @@ _MAX_P = 1024
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
+# VMEM budget for the per-level group matrices of the general walk
+# (depth x (L, L) f32); conv_pmp's 512-node cell needs 3 MiB
+_GROUP_MAT_BYTES = 8 * 2**20
+
+
 def supports(cfg) -> bool:
     """Whether this kernel implements cfg's sampler exactly."""
-    P = (cfg.N + 1) ** cfg.depth
-    return (
-        P <= _MAX_P
-        and (cfg.N == 1 or cfg.depth == 1)
-        and cfg.stabilizer == "none"
-    )
+    base = cfg.N + 1
+    P = base**cfg.depth
+    if not (P <= _MAX_P and cfg.stabilizer == "none"):
+        return False
+    if cfg.N == 1 or cfg.depth == 1:
+        return True
+    # general (N, depth): the lane periodization needs every period
+    # base**(i+1) to divide the lane extent, i.e. a power-of-two base
+    # (the reference's own N = 2**k - 1 convention); the group matrices
+    # must fit VMEM
+    if base & (base - 1):
+        return False
+    L = -(-max(P, _LANES) // _LANES) * _LANES
+    return cfg.depth * L * L * 4 <= _GROUP_MAT_BYTES
 
 
 def spec_to_cfg(spec):
@@ -122,7 +146,8 @@ def _dot(a, b):
 
 
 def _chain_kernel(
-    seed_ref, theta0_ref, xg_ref, yg_ref, cumT_ref, uin_ref, trace_ref, *,
+    seed_ref, theta0_ref, xg_ref, yg_ref, cumT_ref, Ms_ref, uin_ref,
+    trace_ref, *,
     steps, P, L, depth, N, n_data, temper, step_size, trans_sigma,
     trans_norm, mode, rng,
 ):
@@ -158,19 +183,20 @@ def _chain_kernel(
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
         eps = step_size * z * valid * row_valid  # (8, L)
 
-        if mode == "binary":
+        if mode in ("binary", "general"):
             # positions via the mixed-radix identity (pmpx.tree:
-            # anc_index[i, x] = x mod 2^(i+1)):
-            #   Y[x] = theta + sum_i [bit_i(x)] eps[x mod 2^(i+1)]
+            # anc_index[i, x] = x mod base^(i+1)):
+            #   Y[x] = theta + sum_i [digit_i(x) != 0] eps[x mod base^(i+1)]
             # level i's contribution is eps masked to its creation lanes
-            # [2^i, 2^(i+1)) made periodic — all full-width ops, no path
-            # matrix, no gathers.
+            # [base^i, base^(i+1)) made periodic — all full-width ops, no
+            # path matrix, no gathers.
+            base = N + 1
             S = jnp.zeros((8, L), jnp.float32)
             for i in range(depth):
-                w = 2**i
-                born = jnp.logical_and(lane >= w, lane < 2 * w)
+                w = base**i
+                born = jnp.logical_and(lane >= w, lane < base * w)
                 S = S + _periodize(
-                    eps * born.astype(jnp.float32), 2 * w, L
+                    eps * born.astype(jnp.float32), base * w, L
                 )
         else:
             # flat MP: node x's position is theta + its own innovation
@@ -208,6 +234,40 @@ def _chain_kernel(
                 )
                 par = pltpu.roll(sel, shift=w, axis=1)
                 logA = logA + jax.nn.log_sigmoid(sel - par)
+        elif mode == "general":
+            # general (N, depth) walk (log_accept_tree semantics,
+            # error.py:160-173 / conv_pmp.cu:10-36): per level i the
+            # sibling group of residue h is {h + j*temp}; the MTM weight
+            # is lw[h,j] = logpi - sum_k |Y_j - Y_k|^2/(2 s^2 norm)
+            # (constant log-K terms are uniform within a group and
+            # cancel in its normalization).  Each group-segmented sum is
+            # ONE matmul against the constant membership matrix M_i,
+            # whose result is already broadcast lane-wise (periodic in
+            # the residue); the level factor for every deeper node
+            # follows by m-periodization — no gathers, no tran_table.
+            base = N + 1
+            logA = jnp.zeros((1, L), jnp.float32)
+            sq = jnp.sum(Y * Y, axis=0, keepdims=True)  # (1, L)
+            for i in range(depth):
+                temp = base**i
+                m = temp * base
+                Mi = Ms_ref[pl.ds(i * L, L), :]  # (L, L) 0/1
+                Sg = _dot(Y, Mi)  # (8, L) per-group position sums
+                qg = _dot(sq, Mi)  # (1, L) per-group square sums
+                gd2 = (
+                    base * sq
+                    - 2.0 * jnp.sum(Y * Sg, axis=0, keepdims=True)
+                    + qg
+                )
+                lw = logpi - gd2 / (
+                    2.0 * trans_sigma * trans_sigma * trans_norm
+                )
+                # group-normalize with a level-global shift: exact up to
+                # the shift (uniform per group), underflow-guarded
+                zm = jnp.max(jnp.where(lane < m, lw, -1e30))
+                e = jnp.exp(lw - zm) * (lane < m).astype(jnp.float32)
+                T = jnp.maximum(_dot(e, Mi), 1e-30)  # periodic in temp
+                logA = logA + _periodize(lw, m, L) - zm - jnp.log(T)
         else:
             # flat MTM: lw_j = logpi_j + sum_{k!=j} log K(Y_j -> Y_k); the
             # per-pair constant is uniform across j and cancels in the
@@ -279,11 +339,35 @@ def make_fused_chain(
     # Mosaic layout territory); binary P is a power of two, so the
     # pow-2 periods of _periodize always divide L
     L = -(-max(P, _LANES) // _LANES) * _LANES
-    mode = "binary" if cfg.N == 1 else "mp"
+    if cfg.N == 1:
+        mode = "binary"
+    elif cfg.depth == 1:
+        mode = "mp"
+    else:
+        mode = "general"
 
     xg = _pad_grid(np.asarray(target.x, np.float32))
     yg = _pad_grid(np.asarray(target.y, np.float32))
     cumT = jnp.asarray(np.triu(np.ones((L, L), np.float32)))
+    if mode == "general":
+        # stacked per-level group-membership matrices:
+        # Ms[i*L + b, x] = 1 iff b < base**(i+1) and b = x (mod base**i)
+        base = cfg.N + 1
+        bb = np.arange(L)[:, None]
+        xx = np.arange(L)[None, :]
+        Ms = np.concatenate(
+            [
+                (
+                    (bb < base ** (i + 1))
+                    & ((bb % base**i) == (xx % base**i))
+                ).astype(np.float32)
+                for i in range(cfg.depth)
+            ],
+            axis=0,
+        )
+        Ms = jnp.asarray(Ms)
+    else:
+        Ms = jnp.zeros((8, _LANES), jnp.float32)  # unused placeholder
 
     trans_norm = cfg.trans_normalize_by
     if trans_norm == 0:
@@ -307,11 +391,12 @@ def make_fused_chain(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, steps), jnp.float32),
             interpret=interpret,
-        )(seed, theta0, xg, yg, cumT, uin)
+        )(seed, theta0, xg, yg, cumT, Ms, uin)
 
     @functools.partial(jax.jit, static_argnames=("num_steps",))
     def run(key, theta0, num_steps: int):

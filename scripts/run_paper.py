@@ -1,0 +1,95 @@
+"""Sequential queue driver for the reference-scale (paper-protocol) runs.
+
+The reference's committed results are hours-long single-GPU jobs (CIFAR
+50k supersteps, BNN 30k, MNIST CNN 250k / LSTM 1M).  On the shared TPU
+they must run (a) one at a time — concurrent processes time-slice through
+the transport and pollute each other's steady-state timing — and (b) as
+checkpoint-resumable chunked subprocesses, because a wedged transport or
+worker crash must cost one chunk, not the run.
+
+Stages live in ``scripts/paper_queue.json`` and are re-read after every
+stage, so the queue can be re-prioritized mid-flight without touching a
+running job.  A stage is one ``python -m pmpx.cli run ...`` subprocess
+(cwd must be /root/repo: the TPU plugin registers only from there); on
+nonzero exit it is retried with a cool-down (every paper experiment
+passes ``--resume true`` so a retry continues from its checkpoint).
+Completed stages leave a ``<name>.done`` marker and are skipped on
+re-entry, so re-running this script is idempotent.
+
+Usage: nohup python scripts/run_paper.py [queue.json] > qlog 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_DIR = os.path.join(REPO, "artifacts", "paper_queue")
+MAX_ATTEMPTS = 4
+COOLDOWN_S = 150  # a killed axon grant wedges the chip for minutes
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def load_stages(path: str):
+    with open(path) as f:
+        return json.load(f)["stages"]
+
+
+def run_stage(stage: dict) -> bool:
+    name = stage["name"]
+    marker = os.path.join(STATE_DIR, f"{name}.done")
+    if os.path.exists(marker):
+        log(f"skip {name} (done)")
+        return True
+    if stage.get("skip"):
+        log(f"skip {name} (marked skip)")
+        return True
+    logpath = os.path.join(STATE_DIR, f"{name}.log")
+    cmd = [sys.executable, "-m", "pmpx.cli", "run"] + stage["argv"]
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        log(f"start {name} attempt {attempt}: {' '.join(cmd)}")
+        t0 = time.time()
+        with open(logpath, "a") as lf:
+            lf.write(f"\n=== attempt {attempt} {time.ctime()} ===\n")
+            lf.flush()
+            rc = subprocess.call(
+                cmd, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT
+            )
+        wall = time.time() - t0
+        log(f"{name} attempt {attempt}: rc={rc} wall={wall:.0f}s")
+        if rc == 0:
+            with open(marker, "w") as f:
+                json.dump({"wall_s": wall, "attempts": attempt}, f)
+            return True
+        time.sleep(COOLDOWN_S)
+    log(f"FAILED {name} after {MAX_ATTEMPTS} attempts")
+    return False
+
+
+def main():
+    queue_path = (
+        sys.argv[1] if len(sys.argv) > 1
+        else os.path.join(REPO, "scripts", "paper_queue.json")
+    )
+    os.makedirs(STATE_DIR, exist_ok=True)
+    done: set = set()
+    while True:
+        stages = load_stages(queue_path)
+        pending = [s for s in stages if s["name"] not in done]
+        if not pending:
+            break
+        stage = pending[0]
+        run_stage(stage)  # failures are logged; don't block the queue
+        done.add(stage["name"])
+    log("queue drained")
+
+
+if __name__ == "__main__":
+    main()

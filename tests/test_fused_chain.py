@@ -66,6 +66,23 @@ def oracle(target, cfg, uin, theta0, num_steps, chunk):
                 part = anc ^ (2**i)
                 dh = logpi[anc] - logpi[part]
                 logA = logA - np.logaddexp(0.0, -dh)  # log sigmoid
+        elif cfg.depth > 1:
+            # general (N, depth) per-level normalized MTM walk
+            # (log_accept_tree semantics)
+            base = cfg.N + 1
+            logA = np.zeros(P)
+            for i in range(cfg.depth):
+                temp = base**i
+                m = temp * base
+                lp = logpi[:m].reshape(base, temp).T  # (temp, base)
+                G = Y[:, :m].reshape(3, base, temp).transpose(2, 1, 0)
+                d2 = ((G[:, :, None, :] - G[:, None, :, :]) ** 2).sum(-1)
+                lw = lp - d2.sum(-1) / (2 * cfg.trans_sigma**2 * norm)
+                mx = lw.max(axis=1, keepdims=True)
+                contrib = lw - (
+                    mx + np.log(np.exp(lw - mx).sum(1, keepdims=True))
+                )
+                logA = logA + np.tile(contrib.T.reshape(m), P // m)
         else:
             sq = (Y * Y).sum(0)
             S = Y.sum(1)
@@ -95,9 +112,17 @@ def oracle(target, cfg, uin, theta0, num_steps, chunk):
         PMPConfig(N=1, depth=10, step_size=0.05, selection="all_first"),
         PMPConfig(N=255, depth=1, step_size=0.05, selection="all_first"),
         PMPConfig(N=199, depth=1, step_size=0.05, selection="all_first"),
+        PMPConfig(N=3, depth=2, step_size=0.05, selection="all_first"),
+        PMPConfig(N=3, depth=3, step_size=0.05, selection="all_first"),
+        PMPConfig(N=7, depth=2, step_size=0.05, selection="all_first"),
+        # the reference's flagship conv_pmp.cu cell: N_step=7, depth=3,
+        # 512 speculative states (conv_pmp.cu:85-88)
+        PMPConfig(N=7, depth=3, step_size=0.05, selection="all_first"),
     ],
     ids=["binary-P4", "binary-P32", "mp-P8", "mp-P32",
-         "binary-P256", "binary-P1024", "mp-P256", "mp-P200"],
+         "binary-P256", "binary-P1024", "mp-P256", "mp-P200",
+         "gen-N3D2-P16", "gen-N3D3-P64", "gen-N7D2-P64",
+         "gen-N7D3-P512-convpmp"],
 )
 def test_fused_chain_matches_numpy_oracle(cfg):
     x, y = make_synthetic_linreg(jax.random.key(0), 1000)
@@ -127,7 +152,14 @@ def test_supports_predicate():
     assert fc.supports(ok)
     assert fc.supports(PMPConfig(N=1, depth=10, step_size=0.1))  # P=1024
     assert not fc.supports(PMPConfig(N=1, depth=11, step_size=0.1))
-    assert not fc.supports(PMPConfig(N=3, depth=2, step_size=0.1))
+    # general (N, depth) trees with power-of-two base are in
+    assert fc.supports(PMPConfig(N=3, depth=2, step_size=0.1))
+    assert fc.supports(PMPConfig(N=7, depth=3, step_size=0.1))  # conv_pmp
+    assert fc.supports(PMPConfig(N=31, depth=2, step_size=0.1))  # P=1024
+    # non-power-of-two base falls back to the scan path
+    assert not fc.supports(PMPConfig(N=2, depth=2, step_size=0.1))
+    # group matrices past the VMEM budget fall back too
+    assert not fc.supports(PMPConfig(N=3, depth=5, step_size=0.1))
     assert not fc.supports(
         PMPConfig(N=1, depth=3, step_size=0.1, stabilizer="zscore")
     )
