@@ -117,6 +117,48 @@ def test_tree_sharded_matches_unsharded():
     )
 
 
+def test_chain_farm_ess_rhat_pipeline():
+    """The multi-chip chain farm driven through a real protocol: 8
+    sharded chains (one per mesh device), hundreds of steps, aggregate
+    ESS + split-R-hat + posterior-mean statistical asserts — the loop
+    closure between the dryrun's 1-step smoke and the multichain
+    headline claim (VERDICT r2)."""
+    from pmpx.metrics import ess, split_rhat
+
+    x, y = make_synthetic_linreg(jax.random.key(3), 4096)
+    target = BayesLinReg(x, y, method="xla")
+    cfg = PMPConfig(N=3, depth=2, step_size=0.02, selection="all_first")
+    superstep = pmp.make_superstep(target, cfg)
+
+    C, steps, burn = 8, 800, 300
+    keys = jax.random.split(jax.random.key(7), C)
+    # overdispersed init so R-hat actually tests between-chain agreement
+    theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32) + 0.2 * (
+        jax.random.normal(jax.random.key(8), (C, 3))
+    )
+    theta0 = theta0.at[:, 2].set(jnp.abs(theta0[:, 2]) + 0.5)
+
+    mesh = make_mesh(chains=8)
+    _, roots = run_chains_sharded(
+        superstep, keys, theta0, steps, mesh,
+        collect=lambda th, o: th,
+    )
+    post = np.asarray(roots)[:, burn:, :]  # (C, steps-burn, 3)
+
+    # chains converge to the same posterior: split-R-hat near 1
+    for d in range(3):
+        r = float(split_rhat(jnp.asarray(post[:, :, d])))
+        assert r < 1.25, f"coord {d}: R-hat {r}"
+    # the farm's figure of merit: aggregate ESS across the 8 chains
+    agg_ess = sum(float(ess(jnp.asarray(post[c, :, 0]))) for c in range(C))
+    assert agg_ess > 8.0, f"aggregate ESS {agg_ess}"
+    # and the pooled posterior recovers the generative parameters
+    pooled = post.reshape(-1, 3)
+    assert abs(pooled[:, 0].mean() + 1.0) < 0.15
+    assert abs(pooled[:, 1].mean() - 2.0) < 0.15
+    assert abs(pooled[:, 2].mean() - 0.5) < 0.15
+
+
 def test_data_sharded_chain_recovers_parameters():
     """Full pipeline: 2 chains x 4 data shards, posterior hits truth."""
     x, y = make_synthetic_linreg(jax.random.key(3), 4096)
