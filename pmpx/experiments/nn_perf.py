@@ -27,6 +27,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pmpx.config import SamplerSpec
 from pmpx.data import load_cifar10, load_mnist
@@ -244,8 +245,102 @@ def table(
     return cells
 
 
+def bf16_delta(
+    iters: int = 32,
+    N: int = 7,
+    n_mnist: int = 60000,
+    n_cifar: int = 50000,
+    class_sep: float = 1.5,
+    only: str | None = None,
+    on_cell=None,
+):
+    """Quantify the bf16 acceptance perturbation per image cell.
+
+    For each cell, ``iters`` independent supersteps are taken from the
+    SAME warm state with the SAME keys under f32 and bf16 compute; the
+    study reports the move rate (the tree samplers' acceptance analog)
+    under each dtype and the mean |delta log-accept-weight|.  For the
+    random-walk cells the proposals are key-identical, so the delta is
+    purely the density perturbation; for the HMC cells bf16 gradients
+    also move the proposals, so the delta is the honest end-to-end
+    perturbation.  This is the per-experiment justification for choosing
+    bf16 on the long NN-posterior protocols (~2x MXU throughput).
+    """
+    from fnmatch import fnmatch
+
+    from pmpx.experiments.mnist import pretrain
+
+    out = {}
+    pats = [p for p in (only or "").split(",") if p]
+
+    def measure(name, make_target, spec):
+        if pats and not any(fnmatch(name, p) for p in pats):
+            return
+        try:
+            t32 = make_target(None)
+            t16 = make_target(jnp.bfloat16)
+            theta = pretrain(t32, 10)
+            keys = jax.random.split(jax.random.key(42), iters)
+
+            def ensemble(target, sup):
+                @jax.jit
+                def f(ks, th, X):
+                    with target.bound_data(X):
+                        def one(k):
+                            th2, o = sup(k, th)
+                            la = jnp.ravel(
+                                jnp.asarray(o["log_accept"], jnp.float32)
+                            )
+                            return la, jnp.any(th2 != th)
+
+                        return jax.lax.map(one, ks)
+
+                return f(keys, theta, target.X)
+
+            la32, mv32 = ensemble(t32, spec.build(t32))
+            la16, mv16 = ensemble(t16, spec.build(t16))
+            la32, la16 = np.asarray(la32), np.asarray(la16)
+            cell = {
+                "move_rate_f32": float(np.mean(np.asarray(mv32))),
+                "move_rate_bf16": float(np.mean(np.asarray(mv16))),
+                "mean_abs_dlogA": float(np.mean(np.abs(la32 - la16))),
+            }
+            cell["move_rate_delta"] = round(
+                cell["move_rate_bf16"] - cell["move_rate_f32"], 4
+            )
+            out[name] = cell
+        except Exception as e:  # record the failure, keep measuring
+            out[name] = {"error": str(e)[:200]}
+        if on_cell is not None:
+            on_cell(name, out[name])
+
+    x, y, _, _ = load_mnist(n_train=n_mnist, n_test=8,
+                            class_sep=class_sep)
+    for algo in ("mh", "mp", "pmp"):
+        measure(
+            f"mnist_CNN_{algo}",
+            lambda dt: NNPosterior(
+                MNIST_MODELS["CNN"]("nhwc"), x, y, temper=10.0,
+                init_key=jax.random.key(0), proposal_chunk=2,
+                compute_dtype=dt,
+            ),
+            _mnist_spec(algo, 1e-4, N),
+        )
+    xc, yc, _, _ = load_cifar10(n_train=n_cifar, n_test=8,
+                                class_sep=class_sep)
+    for algo in ("sp_hmc", "mp_hmc", "pmp_hmc"):
+        measure(
+            f"cifar_{algo}",
+            lambda dt: _lenet_target(
+                "nhwc", xc, yc, proposal_chunk=1, compute_dtype=dt
+            ),
+            _cifar_spec(algo, N, 0.1, 0.0005),
+        )
+    return out
+
+
 def run(
-    mode: str = "both",  # footprint | table | both
+    mode: str = "both",  # footprint | table | both | bf16_delta
     iters: int = 20,
     N: int = 7,
     P: int = 8,
@@ -286,6 +381,18 @@ def run(
             iters=iters, N=N, n_mnist=n_mnist, n_cifar=n_cifar,
             proposal_chunk=proposal_chunk, only=only,
             on_cell=_on_cell,
+        )
+        _dump()
+    if mode == "bf16_delta":
+        out.setdefault("bf16_delta", {})
+
+        def _on_delta(name, value):
+            out["bf16_delta"][name] = value
+            _dump()
+
+        bf16_delta(
+            iters=iters, N=N, n_mnist=n_mnist, n_cifar=n_cifar,
+            only=only, on_cell=_on_delta,
         )
         _dump()
     return out
