@@ -182,7 +182,12 @@ def run(
         losses = np.asarray(losses)
     acc_tr = float(jax.jit(target.accuracy)(thetaF, x_tr, y_tr))
     acc_te = float(jax.jit(target.accuracy)(thetaF, x_te, y_te))
-    meta = {"model": model}
+    meta = {
+        "model": model,
+        "train_acc": acc_tr,
+        "test_acc": acc_te,
+        "num_steps": num_steps,
+    }
     if steady_ms is not None:
         meta["steady_ms_per_superstep"] = steady_ms
     save_trace(out_dir, name, {"loss": losses}, meta)

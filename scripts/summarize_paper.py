@@ -1,0 +1,225 @@
+"""Build summary JSONs + plots for the reference-scale paper runs.
+
+Usage: python scripts/summarize_paper.py [cifar|bnn|mnist|all]
+
+Reads the chunked traces the paper queue wrote under ``artifacts/`` and
+produces, per family:
+
+* ``cifar``  — per-algo finals + steady timing, a twin-axis
+  loss/accuracy figure per algo, and a comparison block against the
+  reference's committed 50k-step CIFAR traces
+  (``/root/reference/complex_nets/Cifar-10/{SP,MP,PMP}/*.npy`` — data
+  files loaded for comparison only).
+* ``bnn``    — the 30k-step SP-vs-PMP speedup analysis
+  (``MNIST_bnn_NVIDIAA100.ipynb`` cells 20-28 methodology: smoothed
+  loss, first-crossing iterations, linear speedup fit) with
+  compile-excluded steady-state ms/superstep.
+* ``mnist``  — per-(model, algo) finals with honest step counts.
+
+Safe to re-run any time; missing traces are skipped with a note.
+"""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+def _twin_plot(out_pdf, loss, test_acc, train_acc=None, title=""):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax1 = plt.subplots(figsize=(7, 4))
+    ax1.plot(loss, color="tab:red", lw=0.6, label="loss")
+    ax1.set_ylabel("loss", color="tab:red")
+    ax1.set_xlabel("superstep")
+    ax2 = ax1.twinx()
+    if train_acc is not None:
+        ax2.plot(train_acc, color="tab:blue", lw=0.6, label="train acc")
+    ax2.plot(test_acc, color="tab:green", lw=0.6, label="test acc")
+    ax2.set_ylabel("accuracy")
+    ax1.set_title(title)
+    fig.legend(loc="center right")
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)
+
+
+def cifar(out_dir="artifacts/cifar_paper"):
+    res = {"protocol": (
+        "reference cifar_{SP,MP,PMP}hmc.py protocol: full-batch 50000 "
+        "train / 10000 test, warm start from the reference's committed "
+        "cifar.pkl LeNet checkpoint, N=7 (PMP depth 3), step 0.1, "
+        "mom 0.0005, loss/train-acc/test-acc recorded every superstep; "
+        "synthetic CIFAR stand-in (egress-free env) at class_sep=0.35 "
+        "with 5% label noise so curves stay below ceiling; bf16 compute "
+        "where noted (acceptance perturbation quantified in "
+        "artifacts/nn_perf bf16_delta)"
+    )}
+    for algo in ("sp_hmc", "mp_hmc", "pmp_hmc"):
+        base = os.path.join(out_dir, f"cifar_{algo}")
+        try:
+            loss = np.load(base + ".loss.npy")
+            tr = np.load(base + ".train_acc.npy")
+            te = np.load(base + ".test_acc.npy")
+        except FileNotFoundError:
+            res[algo] = {"note": "trace not present (not run this round)"}
+            continue
+        meta = {}
+        if os.path.exists(base + ".json"):
+            with open(base + ".json") as f:
+                meta = json.load(f)
+        k = max(1, min(1000, len(loss) // 10))
+        res[algo] = {
+            "steps": int(len(loss)),
+            "loss_first": float(loss[0]),
+            "loss_last_1k_mean": float(loss[-k:].mean()),
+            "train_acc_last_1k_mean": float(tr[-k:].mean()),
+            "test_acc_last_1k_mean": float(te[-k:].mean()),
+            "steady_ms_per_superstep": meta.get(
+                "steady_ms_per_superstep"
+            ),
+        }
+        _twin_plot(
+            os.path.join(out_dir, f"cifar_{algo}.pdf"),
+            loss, te, tr, title=f"CIFAR LeNet {algo} ({len(loss)} steps)",
+        )
+    # reference committed finals, for the side-by-side block (REAL CIFAR
+    # data there vs synthetic stand-in here: compare shapes of the
+    # comparison, not raw numbers)
+    ref = {}
+    for name, d in (("sp_hmc", "SP"), ("mp_hmc", "MP"), ("pmp_hmc", "PMP")):
+        pats = glob.glob(f"{REF}/complex_nets/Cifar-10/{d}/*test_acc*.npy")
+        losses = glob.glob(f"{REF}/complex_nets/Cifar-10/{d}/*loss*.npy")
+        if pats and losses:
+            a = np.load(pats[0])
+            l = np.load(losses[0])
+            ref[name] = {
+                "steps": int(len(a)),
+                "test_acc_last_1k_mean": float(a[-1000:].mean()),
+                "loss_last_1k_mean": float(l[-1000:].mean()),
+            }
+    res["reference_committed"] = {
+        "note": (
+            "finals of the reference's committed 50k-step traces on real "
+            "CIFAR-10 (different data than the synthetic stand-in — "
+            "ordering comparisons only)"
+        ),
+        **ref,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+def bnn(out_dir="artifacts/bnn_flagship"):
+    from pmpx.metrics.analysis import iteration_speedup
+
+    res = {"protocol": (
+        "Bayesian Network Training/main.py 30k-step protocol: "
+        "torchbnn-style BayesLinear MLP 784-1024-10 (sampling forward), "
+        "full-batch 60000, PMP-HMC N=3 (n=2) barker_clamp vs SP-HMC "
+        "baseline (MNIST_bnn_NVIDIAA100.ipynb); steady_ms excludes "
+        "compile (median of post-first-chunk walls)"
+    )}
+    arrays = {}
+    for algo, stem in (("sp_hmc", "bnn_sphmc"), ("pmp_hmc", "bnn_pmphmc_N3")):
+        base = os.path.join(out_dir, stem)
+        try:
+            loss = np.load(base + ".loss.npy")
+            acc = np.load(base + ".acc.npy")
+        except FileNotFoundError:
+            res[algo] = {"note": "trace not present"}
+            continue
+        meta = {}
+        if os.path.exists(base + ".json"):
+            with open(base + ".json") as f:
+                meta = json.load(f)
+        arrays[algo] = loss
+        res[algo] = {
+            "steps": int(len(loss)),
+            "loss_first": float(loss[0]),
+            "loss_last_1k_mean": float(loss[-1000:].mean()),
+            "acc_last_1k_mean": float(acc[-1000:].mean()),
+            "steady_ms_per_superstep": meta.get(
+                "steady_ms_per_superstep"
+            ),
+        }
+    if "sp_hmc" in arrays and "pmp_hmc" in arrays:
+        try:
+            slope, cf, cb = iteration_speedup(
+                arrays["pmp_hmc"], arrays["sp_hmc"]
+            )
+            res["speedup_fit_iterations"] = float(slope)
+            res["pmp_crossings"] = [
+                None if np.isnan(v) else int(v) for v in cf
+            ]
+            res["sp_crossings"] = [
+                None if np.isnan(v) else int(v) for v in cb
+            ]
+        except Exception as e:
+            res["speedup_fit_error"] = str(e)[:200]
+    with open(os.path.join(out_dir, "bnn_flagship.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+def mnist(out_dir="artifacts/mnist_paper"):
+    res = {"protocol": (
+        "reference Mnist/{FC,CNN,LSTM} protocol: full-batch 60000, "
+        "alpha=1e-4, N=7, temper=10, z-score, single-draw selection; "
+        "synthetic MNIST at class_sep=0.35 + 5% label noise (accuracy "
+        "ceiling ~0.955, loss floor > 0 — r2's saturation fix); step "
+        "counts are honest per trace name (FC 500k = full protocol; "
+        "CNN/LSTM entries state their fraction of 250k / 1M)"
+    )}
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.json"))):
+        stem = os.path.basename(path)[:-5]
+        if stem == "summary":
+            continue
+        loss_p = os.path.join(out_dir, stem + ".loss.npy")
+        if not os.path.exists(loss_p):
+            continue
+        loss = np.load(loss_p)
+        with open(path) as f:
+            meta = json.load(f)
+        full = {"FC": 500000, "CNN": 250000, "LSTM": 1000000}.get(
+            meta.get("model", ""), None
+        )
+        k = max(1, min(10000, len(loss) // 10))
+        res[stem] = {
+            "model": meta.get("model"),
+            "steps": int(len(loss)),
+            "fraction_of_reference_protocol": (
+                round(len(loss) / full, 3) if full else None
+            ),
+            "loss_first": float(loss[0]),
+            "loss_mean_last_chunk": float(loss[-k:].mean()),
+            "train_acc": meta.get("train_acc"),
+            "test_acc": meta.get("test_acc"),
+            "steady_ms_per_superstep": meta.get(
+                "steady_ms_per_superstep"
+            ),
+        }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("cifar", "all"):
+        cifar()
+    if which in ("bnn", "all"):
+        bnn()
+    if which in ("mnist", "all"):
+        mnist()
