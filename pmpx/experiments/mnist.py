@@ -89,6 +89,7 @@ def run(
     proposal_chunk=None,
     warm_start: str = "",
     layout: str = "nhwc",
+    compute_dtype: str = "",
     chunk_steps=None,
     resume: bool = False,
 ):
@@ -124,6 +125,7 @@ def run(
         MODELS[model](layout), x_tr, y_tr, temper=temper,
         init_key=jax.random.key(seed),
         proposal_chunk=proposal_chunk,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
     )
     if warm_start:
         # seed from a torch checkpoint, e.g. the reference's own committed
