@@ -248,3 +248,99 @@ def test_checkpoint_resume_bitwise(tmp_path):
     # checkpoint file roundtrip
     th, key, step, _ = load_checkpoint(p2)
     assert step == 50
+
+def test_cifar_hmc_chunked_resume(tmp_path):
+    """Paper-protocol machinery at smoke scale: chunked checkpointed
+    CIFAR run persists full-history loss/acc traces and a chunked rerun
+    from mid-checkpoint reproduces the uninterrupted traces exactly."""
+    from pmpx.experiments import cifar_hmc
+
+    kw = dict(
+        algo="pmp_hmc", N=3, num_steps=6, n_train=64, n_test=16,
+        pretrain_steps=2, label_noise=0.1, chunk_steps=3,
+    )
+    out = cifar_hmc.run(out_dir=str(tmp_path / "a"), **kw)
+    assert np.isfinite(out["loss_last"])
+    a_loss = np.load(tmp_path / "a" / "cifar_pmp_hmc.loss.npy")
+    a_te = np.load(tmp_path / "a" / "cifar_pmp_hmc.test_acc.npy")
+    assert a_loss.shape == (6,) and a_te.shape == (6,)
+
+    # interrupted run: first 3 steps, then resume to 6
+    kw2 = dict(kw, chunk_steps=3)
+    kw2["num_steps"] = 3
+    cifar_hmc.run(out_dir=str(tmp_path / "b"), **kw2)
+    kw2["num_steps"] = 6
+    out_b = cifar_hmc.run(out_dir=str(tmp_path / "b"), resume=True, **kw2)
+    b_loss = np.load(tmp_path / "b" / "cifar_pmp_hmc.loss.npy")
+    np.testing.assert_array_equal(a_loss, b_loss)
+    assert out_b["loss_last"] == out["loss_last"]
+
+
+def test_bnn_sp_hmc_chunked(tmp_path):
+    from pmpx.experiments import bnn
+
+    out = bnn.run(
+        algo="sp_hmc", hidden=16, num_steps=6, n_train=128, n_test=32,
+        chunk_steps=3, out_dir=str(tmp_path),
+    )
+    assert out["algo"] == "sp_hmc"
+    assert np.isfinite(out["loss_last"])
+    assert 0.0 <= out["acc_last"] <= 1.0
+    assert (tmp_path / "bnn_sphmc.loss.npy").exists()
+    assert np.load(tmp_path / "bnn_sphmc.trajectory10.npy").shape == (6, 10)
+
+
+def test_label_noise_caps_accuracy():
+    from pmpx.data import load_mnist
+
+    x, y, xt, yt = load_mnist(n_train=512, n_test=256, label_noise=0.3)
+    x0, y0, _, yt0 = load_mnist(n_train=512, n_test=256)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x0))
+    frac_tr = float((np.asarray(y) != np.asarray(y0)).mean())
+    frac_te = float((np.asarray(yt) != np.asarray(yt0)).mean())
+    # ~30% flips, ~90% of which change the label
+    assert 0.17 < frac_tr < 0.37 and 0.17 < frac_te < 0.37
+
+
+def test_ess_msjd_trace_all(tmp_path):
+    """Emit-all protocol: both estimator families reported, root rows
+    consistent with the all-stream rows' run."""
+    from pmpx.experiments import ess_msjd
+
+    out = ess_msjd.run(
+        n_data=512, Ps=(4,), num_steps=200, burn_in=40,
+        algos=("mp", "pmp"), trace="all", emit_chunk=80,
+        out_dir=str(tmp_path),
+    )
+    for algo in ("mp", "pmp"):
+        assert out[f"{algo}_P4_all_ess_per_s"] > 0
+        assert out[f"{algo}_P4_all_msjd_per_s"] > 0
+        assert out[f"{algo}_P4_ess_per_s"] > 0
+    # emit spool is deleted unless keep_emit
+    assert not list(tmp_path.glob("emit_*.npy"))
+    with pytest.raises(ValueError):
+        ess_msjd.run(trace="all", method="fused_chain")
+
+
+def test_time_analysis_conv_pmp_cell(tmp_path):
+    from pmpx.experiments import time_analysis
+
+    out = time_analysis.run(
+        data_sizes=(500,), Ps=(4,), iters=4, method="fused_chain",
+        include_conv_pmp=True, out_dir=str(tmp_path),
+    )
+    assert "fused_eligibility" in out
+    assert out["pmp_general_N7_D3_n500_P512_method"] == "fused_chain"
+    assert out["pmp_general_N7_D3_n500_P512_us"] > 0
+
+
+def test_nn_perf_bf16_delta_smoke():
+    from pmpx.experiments import nn_perf
+
+    out = nn_perf.bf16_delta(
+        iters=2, N=3, n_mnist=128, n_cifar=128, only="mnist_CNN_mh"
+    )
+    cell = out["mnist_CNN_mh"]
+    assert "error" not in cell, cell
+    assert 0.0 <= cell["move_rate_f32"] <= 1.0
+    assert np.isfinite(cell["mean_abs_dlogA"])
