@@ -36,11 +36,27 @@ def _emit_all_cell(
 
     superstep = spec.build(target)
 
+    # The device->host emission is the protocol's dominant traffic, so
+    # only the (P,) beta0 column of every superstep crosses the tunnel;
+    # MSJD over the flattened emitted stream (which needs all
+    # coordinates) is reduced ON DEVICE per chunk — sum of squared
+    # jumps inside the chunk plus the chunk's first/last emitted states
+    # for the cross-chunk boundary jumps.
     def make_runner(n):
         @jax.jit
         def f(k, t):
-            return run_chain(
-                superstep, k, t, n, collect=lambda th, o: o["samples"]
+            theta2, samples_all = run_chain(
+                superstep, k, t, n,
+                collect=lambda th, o: o["samples"],
+            )
+            flat = samples_all.reshape(-1, samples_all.shape[-1])
+            d = flat[1:] - flat[:-1]
+            sq = jnp.sum(d * d)
+            return (
+                theta2,
+                samples_all[:, :, 0],  # (n, P) beta0 of every draw
+                samples_all[:, 0, :],  # (n, 3) the root path
+                sq, flat[0], flat[-1],
             )
 
         return f
@@ -55,23 +71,22 @@ def _emit_all_cell(
     theta = theta0
     key = jax.random.key(seed)
     runner = make_runner(emit_chunk)
-    sq_sum, n_jumps, last = 0.0, 0, None
+    sq_sum, last = 0.0, None
     t0 = time.perf_counter()
     for s in range(0, num_steps, emit_chunk):
         n = min(emit_chunk, num_steps - s)
         if n != emit_chunk:
             runner = make_runner(n)
-        theta, samples = runner(jax.random.fold_in(key, s), theta)
-        sm = np.asarray(samples)  # (n, P, 3)
-        cols[:, s:s + n] = np.ascontiguousarray(sm[:, :, 0].T)
-        roots[s:s + n] = sm[:, 0, :]
-        flat = sm.reshape(n * P, 3).astype(np.float64)
+        theta, cols_c, roots_c, sq, first, lastc = runner(
+            jax.random.fold_in(key, s), theta
+        )
+        cols[:, s:s + n] = np.asarray(cols_c).T
+        roots[s:s + n] = np.asarray(roots_c)
+        sq_sum += float(sq)
         if last is not None:
-            flat = np.concatenate([last[None, :], flat], axis=0)
-        d = np.diff(flat, axis=0)
-        sq_sum += float((d * d).sum())
-        n_jumps += d.shape[0]
-        last = flat[-1]
+            d = np.asarray(first, np.float64) - last
+            sq_sum += float((d * d).sum())
+        last = np.asarray(lastc, np.float64)
     dt = time.perf_counter() - t0
 
     root_e = float(ess(jnp.asarray(roots[burn_in:, 0])))
