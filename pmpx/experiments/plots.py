@@ -26,6 +26,10 @@ def render_ess_msjd(summary_json: str, out_dir: str):
         if not k.endswith(("_ess_per_s", "_msjd_per_s")):
             continue
         algo, P, metric = k.split("_", 2)
+        if metric.startswith("all_"):
+            # the emit-all estimator family (trace="all") plots as its
+            # own series next to the root-path one
+            algo, metric = algo + "-all", metric[len("all_"):]
         series.setdefault((algo, metric), []).append((int(P[1:]), v))
     os.makedirs(out_dir, exist_ok=True)
 
