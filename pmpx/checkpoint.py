@@ -58,14 +58,27 @@ class TraceAccumulator:
     def __call__(self, start: int, recs):
         if not isinstance(recs, (tuple, list)):
             recs = (recs,)
+        if len(recs) != len(self.keys):
+            raise ValueError(
+                f"chunk returned {len(recs)} arrays for keys {self.keys}"
+            )
         for k, arr in zip(self.keys, recs):
             arr = np.asarray(arr)
             p = self.paths[k]
             prev = (
-                np.load(p)[:start] if os.path.exists(p)
+                np.load(p) if os.path.exists(p)
                 else np.zeros((0,) + arr.shape[1:], arr.dtype)
             )
-            np.save(p, np.concatenate([prev, arr]))
+            if len(prev) < start:
+                # a silent pad/truncate here would step-shift the whole
+                # trace; the checkpoint and the .npy must agree
+                raise RuntimeError(
+                    f"{p} holds {len(prev)} records but the resumed "
+                    f"chunk starts at step {start} — trace and "
+                    "checkpoint are out of sync (deleted .npy, or keys "
+                    "changed mid-run?)"
+                )
+            np.save(p, np.concatenate([prev[:start], arr]))
         self.chunk_walls.append(self._time() - self._t0)
 
     def load(self, key=None):

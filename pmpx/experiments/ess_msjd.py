@@ -44,14 +44,22 @@ def _emit_all_cell(
     # for the cross-chunk boundary jumps.
     def make_runner(n):
         @jax.jit
-        def f(k, t):
+        def f(k, t, start):
             theta2, samples_all = run_chain(
                 superstep, k, t, n,
                 collect=lambda th, o: o["samples"],
             )
             flat = samples_all.reshape(-1, samples_all.shape[-1])
             d = flat[1:] - flat[:-1]
-            sq = jnp.sum(d * d)
+            # count only post-burn-in jumps (stream element i jumps to
+            # i+1; kept iff its global flattened index >= burn_in*P), so
+            # the MSJD numerator matches the burn_in-trimmed windows the
+            # ESS estimators use — `start` is traced, no per-chunk
+            # recompile
+            P_ = flat.shape[0] // n
+            gidx = jnp.arange(flat.shape[0] - 1) + start * P_
+            keep = gidx >= burn_in * P_
+            sq = jnp.sum(jnp.where(keep[:, None], d * d, 0.0))
             return (
                 theta2,
                 samples_all[:, :, 0],  # (n, P) beta0 of every draw
@@ -70,20 +78,31 @@ def _emit_all_cell(
     roots = np.empty((num_steps, 3), np.float32)
     theta = theta0
     key = jax.random.key(seed)
-    runner = make_runner(emit_chunk)
+    cur_n = min(emit_chunk, num_steps)
+    runner = make_runner(cur_n)
+    # compile outside the timed window, like the root protocol's
+    # untimed warm-up call (the result is discarded; the timed loop
+    # restarts from theta0 with the same keys)
+    jax.block_until_ready(runner(
+        jax.random.fold_in(key, 0), theta, jnp.int32(0)
+    ))
     sq_sum, last = 0.0, None
     t0 = time.perf_counter()
     for s in range(0, num_steps, emit_chunk):
         n = min(emit_chunk, num_steps - s)
-        if n != emit_chunk:
+        if n != cur_n:
             runner = make_runner(n)
+            cur_n = n
         theta, cols_c, roots_c, sq, first, lastc = runner(
-            jax.random.fold_in(key, s), theta
+            jax.random.fold_in(key, s), theta, jnp.int32(s)
         )
         cols[:, s:s + n] = np.asarray(cols_c).T
         roots[s:s + n] = np.asarray(roots_c)
         sq_sum += float(sq)
-        if last is not None:
+        if last is not None and s > burn_in:
+            # boundary jump (last of prev chunk -> first of this one);
+            # its earlier element has global index s*P - 1, which is
+            # post-burn-in iff s > burn_in
             d = np.asarray(first, np.float64) - last
             sq_sum += float((d * d).sum())
         last = np.asarray(lastc, np.float64)
@@ -144,7 +163,8 @@ def run(
       Root-path numbers are reported alongside from the same run.
       Scan path only (the megakernel traces the root path); the wall
       clock includes the device->host emission the protocol requires
-      (the reference's txt dumps sat inside its timed loop too).
+      (the reference's txt dumps sat inside its timed loop too) but
+      excludes compile, like the root protocol's untimed warm-up.
       Emission is chunked (``emit_chunk`` supersteps per device call)
       and spooled to a disk memmap (deleted unless ``keep_emit``).
     """

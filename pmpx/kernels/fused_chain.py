@@ -69,6 +69,13 @@ _LOG_2PI = math.log(2.0 * math.pi)
 _GROUP_MAT_BYTES = 8 * 2**20
 
 
+def _lane_extent(P: int) -> int:
+    """Lane-padded extent the kernel allocates for P proposals — the
+    single definition both the VMEM predicate in :func:`supports` and
+    :func:`make_fused_chain` must share."""
+    return -(-max(P, _LANES) // _LANES) * _LANES
+
+
 def supports(cfg) -> bool:
     """Whether this kernel implements cfg's sampler exactly."""
     base = cfg.N + 1
@@ -83,7 +90,7 @@ def supports(cfg) -> bool:
     # must fit VMEM
     if base & (base - 1):
         return False
-    L = -(-max(P, _LANES) // _LANES) * _LANES
+    L = _lane_extent(P)
     return cfg.depth * L * L * 4 <= _GROUP_MAT_BYTES
 
 
@@ -338,7 +345,7 @@ def make_fused_chain(
     # otherwise give every array a non-128-multiple lane dim — untested
     # Mosaic layout territory); binary P is a power of two, so the
     # pow-2 periods of _periodize always divide L
-    L = -(-max(P, _LANES) // _LANES) * _LANES
+    L = _lane_extent(P)
     if cfg.N == 1:
         mode = "binary"
     elif cfg.depth == 1:

@@ -68,7 +68,8 @@ def run_stage(stage: dict) -> bool:
             with open(marker, "w") as f:
                 json.dump({"wall_s": wall, "attempts": attempt}, f)
             return True
-        time.sleep(COOLDOWN_S)
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(COOLDOWN_S)
     log(f"FAILED {name} after {MAX_ATTEMPTS} attempts")
     return False
 
@@ -80,8 +81,15 @@ def main():
     )
     os.makedirs(STATE_DIR, exist_ok=True)
     done: set = set()
+    stages = load_stages(queue_path)
     while True:
-        stages = load_stages(queue_path)
+        try:
+            stages = load_stages(queue_path)
+        except (json.JSONDecodeError, OSError) as e:
+            # the queue is advertised live-editable: a mid-write or
+            # malformed JSON must not kill hours of pending TPU stages —
+            # keep the last-good stage list and retry the read later
+            log(f"queue reload failed ({e}); keeping last-good list")
         pending = [s for s in stages if s["name"] not in done]
         if not pending:
             break

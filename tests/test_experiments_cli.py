@@ -322,6 +322,41 @@ def test_ess_msjd_trace_all(tmp_path):
         ess_msjd.run(trace="all", method="fused_chain")
 
 
+def test_emit_all_msjd_numerator_oracle(tmp_path):
+    """The emit-all cell's on-device MSJD numerator equals a NumPy
+    recomputation over the burn-in-trimmed flattened stream (single
+    chunk, so the stream is exactly ``run_chain`` under the cell's first
+    chunk key)."""
+    from pmpx.config import SamplerSpec
+    from pmpx.experiments.ess_msjd import _emit_all_cell
+    from pmpx.samplers.base import run_chain
+    from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
+
+    num_steps, burn_in, seed = 120, 30, 3
+    x, y = make_synthetic_linreg(jax.random.key(seed), 256)
+    target = BayesLinReg(x, y, temper=1.0 / 2000.0, method="xla")
+    spec = SamplerSpec(
+        algo="mp", N=3, step_size=0.02, selection="all_first"
+    )
+    theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    _, _, _, all_m, _ = _emit_all_cell(
+        target, spec, theta0, num_steps, burn_in,
+        emit_chunk=num_steps, out_dir=str(tmp_path), seed=seed,
+        keep_emit=False, tag="oracle",
+    )
+    superstep = spec.build(target)
+    _, samples = jax.jit(
+        lambda k, t: run_chain(
+            superstep, k, t, num_steps,
+            collect=lambda th, o: o["samples"],
+        )
+    )(jax.random.fold_in(jax.random.key(seed), 0), theta0)
+    flat = np.asarray(samples).reshape(-1, 3).astype(np.float64)
+    P = 4
+    d = np.diff(flat[burn_in * P:], axis=0)
+    np.testing.assert_allclose(all_m, (d * d).sum(), rtol=1e-4)
+
+
 def test_time_analysis_conv_pmp_cell(tmp_path):
     from pmpx.experiments import time_analysis
 
