@@ -176,7 +176,11 @@ def bnn(out_dir="artifacts/bnn_flagship"):
 def mnist(out_dir="artifacts/mnist_paper"):
     res = {"protocol": (
         "reference Mnist/{FC,CNN,LSTM} protocol: full-batch 60000, "
-        "alpha=1e-4, N=7, temper=10, z-score, single-draw selection; "
+        "alpha=1e-4, N=7, z-score, single-draw selection; tempering is "
+        "per-algo like the reference's (MH effective -1000*CE from "
+        "MH_FC.py lamb=10000 on CE/10; MP/PMP -10*CE, with the final "
+        "logits z-scored so only per-level Barker sharpness diverges "
+        "from the reference's effective -CE/10); "
         "synthetic MNIST at class_sep=0.35 + 5% label noise (accuracy "
         "ceiling ~0.955, loss floor > 0 — r2's saturation fix); step "
         "counts are honest per trace name (FC 500k = full protocol; "
