@@ -271,7 +271,11 @@ def bf16_delta(
     from pmpx.experiments.mnist import pretrain
 
     out = {}
-    pats = [p for p in (only or "").split(",") if p]
+    # `only` arrives as a comma string from Python callers but as a
+    # tuple from the CLI (whose value parser splits on commas)
+    if isinstance(only, str):
+        only = tuple(p for p in only.split(",") if p)
+    pats = list(only or ())
 
     def measure(name, make_target, spec):
         if pats and not any(fnmatch(name, p) for p in pats):

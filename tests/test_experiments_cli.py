@@ -373,7 +373,9 @@ def test_nn_perf_bf16_delta_smoke():
     from pmpx.experiments import nn_perf
 
     out = nn_perf.bf16_delta(
-        iters=2, N=3, n_mnist=128, n_cifar=128, only="mnist_CNN_mh"
+        iters=2, N=3, n_mnist=128, n_cifar=128,
+        # tuple, as the CLI's comma-splitting value parser delivers it
+        only=("mnist_CNN_mh", "no_such_cell"),
     )
     cell = out["mnist_CNN_mh"]
     assert "error" not in cell, cell
