@@ -16,6 +16,16 @@ passes ``--resume true`` so a retry continues from its checkpoint).
 Completed stages leave a ``<name>.done`` marker and are skipped on
 re-entry, so re-running this script is idempotent.
 
+A wedged transport can also hang a stage *without* exiting (observed:
+all threads in futex_do_wait for 70+ min while the chunk checkpoint
+stopped advancing), so each stage runs under a stall monitor: if the
+stage writes nothing (its log or its ``--out-dir``) for ``STALL_S``, it
+is SIGTERMed and retried like any other failure.  The threshold leaves
+room for the axon remote-compile helper (3-25 min of legitimate
+file-silence); healthy chunked runs checkpoint every <=60 s of device
+time.  ``scripts/queue_watchdog.py`` applies the same rule externally
+to an already-running driver.
+
 Usage: nohup python scripts/run_paper.py [queue.json] > qlog 2>&1 &
 """
 
@@ -23,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -31,6 +42,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STATE_DIR = os.path.join(REPO, "artifacts", "paper_queue")
 MAX_ATTEMPTS = 4
 COOLDOWN_S = 150  # a killed axon grant wedges the chip for minutes
+STALL_S = 35 * 60  # no-file-activity threshold before a stage is killed
 
 
 def log(msg: str) -> None:
@@ -40,6 +52,49 @@ def log(msg: str) -> None:
 def load_stages(path: str):
     with open(path) as f:
         return json.load(f)["stages"]
+
+
+def _out_dir(argv: list) -> str | None:
+    for i, a in enumerate(argv):
+        if a == "--out-dir" and i + 1 < len(argv):
+            return os.path.join(REPO, argv[i + 1])
+    return None
+
+
+def _latest_mtime(paths: list) -> float:
+    best = 0.0
+    for p in paths:
+        if not p:
+            continue
+        if os.path.isdir(p):
+            for name in os.listdir(p):
+                try:
+                    best = max(best, os.path.getmtime(os.path.join(p, name)))
+                except OSError:
+                    pass
+        elif os.path.exists(p):
+            best = max(best, os.path.getmtime(p))
+    return best
+
+
+def _wait_with_stall_monitor(proc, watched: list) -> int:
+    """Poll the stage child; SIGTERM it after STALL_S of file silence."""
+    started = time.time()
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            return rc
+        quiet = time.time() - max(started, _latest_mtime(watched))
+        if quiet > STALL_S:
+            log(f"stage pid={proc.pid} silent {quiet / 60:.0f} min — "
+                f"SIGTERM (wedged transport)")
+            proc.send_signal(signal.SIGTERM)
+            try:
+                return proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                return proc.wait()
+        time.sleep(30)
 
 
 def run_stage(stage: dict) -> bool:
@@ -59,8 +114,11 @@ def run_stage(stage: dict) -> bool:
         with open(logpath, "a") as lf:
             lf.write(f"\n=== attempt {attempt} {time.ctime()} ===\n")
             lf.flush()
-            rc = subprocess.call(
+            proc = subprocess.Popen(
                 cmd, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT
+            )
+            rc = _wait_with_stall_monitor(
+                proc, [logpath, _out_dir(stage["argv"]) or ""]
             )
         wall = time.time() - t0
         log(f"{name} attempt {attempt}: rc={rc} wall={wall:.0f}s")
