@@ -31,6 +31,9 @@ overhead).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -63,7 +66,42 @@ def _best_us(fn, iters, *args):
     return best
 
 
+def _chip_answers(attempts: int = 5, probe_timeout_s: int = 120) -> bool:
+    """Fail fast instead of hanging when the TPU transport is wedged.
+
+    A wedged axon grant hangs device calls (and fresh backend inits)
+    indefinitely — observed for hours — which would hang this benchmark
+    and whatever invoked it.  Probe with a short-bounded tiny op in a
+    subprocess, retrying a few times in case the wedge is about to
+    clear; stdout stays JSON-only (diagnostics go to stderr).
+    """
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+        "print('CHIP_OK')"
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], cwd=here,
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if "CHIP_OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: device probe {i + 1}/{attempts} failed; "
+              "transport may be wedged", file=sys.stderr, flush=True)
+        time.sleep(60)
+    return False
+
+
 def main():
+    if not _chip_answers():
+        print("bench: giving up — device never answered a bounded probe",
+              file=sys.stderr)
+        sys.exit(2)
     backend = jax.default_backend()
     method = "pallas" if backend == "tpu" else "xla"
     x, y = make_synthetic_linreg(jax.random.key(0), N_DATA)

@@ -43,6 +43,7 @@ STATE_DIR = os.path.join(REPO, "artifacts", "paper_queue")
 MAX_ATTEMPTS = 4
 COOLDOWN_S = 150  # a killed axon grant wedges the chip for minutes
 STALL_S = 35 * 60  # no-file-activity threshold before a stage is killed
+MONITOR_POLL_S = 30
 
 
 def log(msg: str) -> None:
@@ -94,7 +95,7 @@ def _wait_with_stall_monitor(proc, watched: list) -> int:
             except subprocess.TimeoutExpired:
                 proc.kill()
                 return proc.wait()
-        time.sleep(30)
+        time.sleep(MONITOR_POLL_S)
 
 
 def run_stage(stage: dict) -> bool:

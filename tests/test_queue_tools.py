@@ -1,0 +1,123 @@
+"""Unit tests for the paper-queue resilience tooling.
+
+The serial queue (``scripts/run_paper.py``) must survive the transport
+failure actually observed on this hardware: a device call that never
+returns, leaving the stage child alive-but-silent forever.  These tests
+exercise the host-side pieces (stall monitor, watchdog helpers,
+recovery-daemon state probe) with plain subprocesses — no TPU, no jax.
+"""
+
+import importlib.util
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, rel):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, rel)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def run_paper():
+    return _load("rp_under_test", "scripts/run_paper.py")
+
+
+@pytest.fixture(scope="module")
+def watchdog():
+    return _load("wd_under_test", "scripts/queue_watchdog.py")
+
+
+@pytest.fixture(scope="module")
+def recovery():
+    return _load("rec_under_test", "scripts/chip_recovery.py")
+
+
+def test_stall_monitor_kills_silent_child(run_paper, monkeypatch):
+    monkeypatch.setattr(run_paper, "STALL_S", 1)
+    monkeypatch.setattr(run_paper, "MONITOR_POLL_S", 1)
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(600)"])
+    t0 = time.time()
+    rc = run_paper._wait_with_stall_monitor(proc, ["/nonexistent"])
+    assert rc == -15  # SIGTERM
+    assert time.time() - t0 < 120
+
+
+def test_stall_monitor_passes_through_healthy_exit(run_paper):
+    proc = subprocess.Popen([sys.executable, "-c", "raise SystemExit(7)"])
+    assert run_paper._wait_with_stall_monitor(proc, ["/nonexistent"]) == 7
+
+
+def test_stall_monitor_respects_file_activity(run_paper, monkeypatch, tmp_path):
+    # child touches a watched file continuously -> never killed, exits 0
+    monkeypatch.setattr(run_paper, "STALL_S", 6)
+    monkeypatch.setattr(run_paper, "MONITOR_POLL_S", 1)
+    beat = tmp_path / "heartbeat"
+    beat.write_text("start")  # cover the child's interpreter startup
+    code = (
+        "import pathlib, time\n"
+        f"p = pathlib.Path({str(beat)!r})\n"
+        "for _ in range(16):\n"
+        "    p.write_text('x'); time.sleep(0.5)\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code])
+    assert run_paper._wait_with_stall_monitor(proc, [str(beat)]) == 0
+
+
+def test_out_dir_extraction(run_paper):
+    argv = ["cifar_hmc", "--algo", "mp_hmc", "--out-dir", "artifacts/x"]
+    assert run_paper._out_dir(argv).endswith("artifacts/x")
+    assert run_paper._out_dir(["a", "--out-dir"]) is None
+    assert run_paper._out_dir([]) is None
+
+
+def test_latest_mtime_handles_missing_and_dirs(run_paper, tmp_path):
+    f = tmp_path / "a.log"
+    f.write_text("x")
+    got = run_paper._latest_mtime([str(tmp_path), "/nonexistent", ""])
+    assert abs(got - f.stat().st_mtime) < 1e-6
+    assert run_paper._latest_mtime(["/nonexistent"]) == 0.0
+
+
+def test_watchdog_child_discovery_and_out_dir(watchdog):
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        # /proc/<pid>/task/*/children is only guaranteed-accurate for
+        # stopped children; retry briefly to absorb kernel-side lag
+        for _ in range(20):
+            kids = watchdog.children_of(os.getpid())
+            if proc.pid in kids:
+                break
+            time.sleep(0.25)
+        assert proc.pid in kids
+        argv = watchdog.cmdline(proc.pid)
+        assert argv[0] == sys.executable
+    finally:
+        proc.terminate()
+        proc.wait()
+    assert watchdog.out_dir_of(["--out-dir", "artifacts/y"]).endswith(
+        "artifacts/y"
+    )
+
+
+def test_recovery_driver_state(recovery):
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        assert recovery.driver_state(proc.pid) in ("S", "R")
+        proc.send_signal(19)  # SIGSTOP
+        time.sleep(0.2)
+        assert recovery.driver_state(proc.pid) == "T"
+        proc.send_signal(18)  # SIGCONT
+    finally:
+        proc.terminate()
+        proc.wait()
+    assert recovery.driver_state(proc.pid) == "gone"
