@@ -31,8 +31,8 @@ def run(
     step_size: float = 0.1,
     mom_scale: float = 0.0005,
     num_steps=None,
-    n_train: int = 4096,
-    n_test: int = 1024,
+    n_train=None,
+    n_test=None,
     seed: int = 0,
     out_dir: str = "results/bnn",
     scale: str = "smoke",
@@ -48,13 +48,18 @@ def run(
     ``chunk_steps`` makes it checkpoint-resumable and yields a
     compile-excluded steady-state ms/superstep."""
     if scale == "paper":
-        n_train, n_test = 60000, 10000
+        # explicit n_train/n_test still win (shrunken-batch rate probes)
+        n_train = 60000 if n_train is None else n_train
+        n_test = 10000 if n_test is None else n_test
         if num_steps is None:
             num_steps = 30000
         if chunk_steps is None:
             chunk_steps = 1000
-    elif num_steps is None:
-        num_steps = 30
+    else:
+        n_train = 4096 if n_train is None else n_train
+        n_test = 1024 if n_test is None else n_test
+        if num_steps is None:
+            num_steps = 30
     N = 2**n - 1
     depth = max(tree.binary_depth(N + 1), 1)
     x_tr, y_tr, x_te, y_te = load_mnist(

@@ -41,8 +41,8 @@ def run(
     step_size: float = 0.1,
     mom_scale: float = 0.0005,
     num_steps=None,
-    n_train: int = 2048,
-    n_test: int = 512,
+    n_train=None,
+    n_test=None,
     pretrain_steps: int = 30,
     seed: int = 0,
     out_dir: str = "results/cifar",
@@ -66,13 +66,18 @@ def run(
     where one monolithic 50k-step device execution outlives the remote
     TPU transport; ``resume=True`` continues from the checkpoint."""
     if scale == "paper":
-        n_train, n_test = 50000, 10000
+        # explicit n_train/n_test still win (shrunken-batch rate probes)
+        n_train = 50000 if n_train is None else n_train
+        n_test = 10000 if n_test is None else n_test
         if num_steps is None:
             num_steps = 50000
         if chunk_steps is None:
             chunk_steps = 500
-    elif num_steps is None:
-        num_steps = 10
+    else:
+        n_train = 2048 if n_train is None else n_train
+        n_test = 512 if n_test is None else n_test
+        if num_steps is None:
+            num_steps = 10
     x_tr, y_tr, x_te, y_te = load_cifar10(
         n_train=n_train, n_test=n_test, class_sep=class_sep,
         label_noise=label_noise,

@@ -77,8 +77,8 @@ def run(
     alpha: float = 1e-4,
     N: int = 7,
     num_steps=None,
-    n_train: int = 4096,
-    n_test: int = 1024,
+    n_train=None,
+    n_test=None,
     pretrain_steps: int = 50,
     temper=None,
     seed: int = 0,
@@ -118,7 +118,10 @@ def run(
         # num_steps still wins — prefix runs at an honest step count
         # (embedded in the trace name) when full scale exceeds a round's
         # chip budget.
-        n_train, n_test = 60000, 10000
+        # explicit n_train/n_test still win (e.g. rate probes at the
+        # paper tempering/chunking but a shrunken batch)
+        n_train = 60000 if n_train is None else n_train
+        n_test = 10000 if n_test is None else n_test
         if num_steps is None:
             num_steps = {
                 "FC": 500000, "CNN": 250000, "LSTM": 1000000,
@@ -127,8 +130,11 @@ def run(
             chunk_steps = {
                 "FC": 10000, "CNN": 2000, "LSTM": 5000,
             }[model]
-    elif num_steps is None:
-        num_steps = 300
+    else:
+        n_train = 4096 if n_train is None else n_train
+        n_test = 1024 if n_test is None else n_test
+        if num_steps is None:
+            num_steps = 300
     x_tr, y_tr, x_te, y_te = load_mnist(
         n_train=n_train, n_test=n_test, class_sep=class_sep,
         label_noise=label_noise,
