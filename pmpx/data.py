@@ -2,16 +2,30 @@
 
 The reference downloads MNIST/CIFAR-10 via torchvision at import time
 (``PMP_FC.py:47-67``, ``cifar_PMPhmc.py:12-22``).  This environment (and
-many production ones) is egress-free, so loaders here look for data on disk
-(``$PMPX_DATA_DIR`` or ``./data``) in ``.npz`` form and otherwise generate
-a *deterministic, learnable* synthetic stand-in with identical shapes and
-normalization: class-conditional Gaussian blobs around per-class prototype
-images, so posterior sampling / accuracy curves remain meaningful.
+many production ones) is egress-free, so loaders here look for data on
+disk under ``$PMPX_DATA_DIR`` (default ``./data``), accepting every
+format a reference user is likely to already have:
+
+* ``mnist.npz`` / ``cifar10.npz`` with ``x_train/y_train/x_test/y_test``
+  arrays (pmpx's own convention);
+* the MNIST IDX files torchvision leaves in ``MNIST/raw/``
+  (``train-images-idx3-ubyte`` etc., plain or ``.gz``), also accepted
+  directly in the data dir;
+* the CIFAR-10 python pickle batches torchvision leaves in
+  ``cifar-10-batches-py/`` (``data_batch_1..5``, ``test_batch``).
+
+Otherwise loaders generate a *deterministic, learnable* synthetic
+stand-in with identical shapes and normalization: class-conditional
+Gaussian blobs around per-class prototype images, so posterior
+sampling / accuracy curves remain meaningful.
 """
 
 from __future__ import annotations
 
+import gzip
 import os
+import pickle
+import struct
 from typing import Tuple
 
 import jax
@@ -53,6 +67,93 @@ def _try_npz(name: str):
             jnp.asarray(z["y_test"]),
         )
     return None
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Parse one IDX-format file (the MNIST distribution format).
+
+    Header: magic ``0x00 0x00 <dtype> <ndim>`` then ``ndim`` big-endian
+    u32 dims, then the raw array.  Only u8 payloads are needed here
+    (images magic 0x0803, labels 0x0801); anything else is rejected
+    loudly rather than misparsed."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        zero, dtype, ndim = struct.unpack(">HBB", f.read(4))
+        if zero != 0 or dtype != 0x08:
+            raise ValueError(
+                f"{path}: not a u8 IDX file "
+                f"(magic {zero:#06x} dtype {dtype:#04x})"
+            )
+        dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    if data.size != int(np.prod(dims)):
+        raise ValueError(
+            f"{path}: payload {data.size} != header dims {dims}"
+        )
+    return data.reshape(dims)
+
+
+def _find_idx(name: str):
+    """Locate an MNIST IDX file in the data dir, torchvision's
+    ``MNIST/raw/`` subdir, plain or gzipped."""
+    for sub in ("", "MNIST/raw"):
+        for ext in ("", ".gz"):
+            p = os.path.join(_data_dir(), sub, name + ext)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def _try_mnist_idx():
+    paths = [
+        _find_idx(n)
+        for n in (
+            "train-images-idx3-ubyte",
+            "train-labels-idx1-ubyte",
+            "t10k-images-idx3-ubyte",
+            "t10k-labels-idx1-ubyte",
+        )
+    ]
+    if any(p is None for p in paths):
+        return None
+    x_tr, y_tr, x_te, y_te = (_read_idx(p) for p in paths)
+    return (
+        jnp.asarray(x_tr),
+        jnp.asarray(y_tr),
+        jnp.asarray(x_te),
+        jnp.asarray(y_te),
+    )
+
+
+def _try_cifar_batches():
+    """torchvision's on-disk CIFAR-10: ``cifar-10-batches-py/`` python
+    pickles with ``data`` (N, 3072) u8 rows in CHW order + ``labels``."""
+    root = os.path.join(_data_dir(), "cifar-10-batches-py")
+    train_names = [f"data_batch_{i}" for i in range(1, 6)]
+    if not all(
+        os.path.exists(os.path.join(root, n))
+        for n in train_names + ["test_batch"]
+    ):
+        return None
+
+    def read(name):
+        with open(os.path.join(root, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = np.asarray(d[b"data"], dtype=np.uint8)
+        x = x.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # CHW -> NHWC
+        y = np.asarray(d[b"labels"], dtype=np.int32)
+        return x, y
+
+    parts = [read(n) for n in train_names]
+    x_tr = np.concatenate([p[0] for p in parts])
+    y_tr = np.concatenate([p[1] for p in parts])
+    x_te, y_te = read("test_batch")
+    return (
+        jnp.asarray(x_tr),
+        jnp.asarray(y_tr),
+        jnp.asarray(x_te),
+        jnp.asarray(y_te),
+    )
 
 
 def _synthetic_images(
@@ -104,8 +205,10 @@ def load_mnist(
     normalized; labels int32.  Reads ``mnist.npz`` from the data dir when
     present, else synthesizes (``class_sep`` controls difficulty;
     ``label_noise`` flips that fraction of train AND test labels to cap
-    achievable accuracy below 100%)."""
-    found = _try_npz("mnist.npz")
+    achievable accuracy below 100%).  Also accepts the IDX files
+    torchvision downloads (``MNIST/raw/train-images-idx3-ubyte`` etc.,
+    plain or ``.gz``)."""
+    found = _try_npz("mnist.npz") or _try_mnist_idx()
     if found is not None:
         x_tr, y_tr, x_te, y_te = found
         x_tr = (x_tr.astype(jnp.float32) / 255.0 - 0.1307) / 0.3081
@@ -131,8 +234,9 @@ def load_cifar10(
     class_sep: float = 1.5,
     label_noise: float = 0.0,
 ):
-    """(x_train, y_train, x_test, y_test); images (N, 32, 32, 3) float32."""
-    found = _try_npz("cifar10.npz")
+    """(x_train, y_train, x_test, y_test); images (N, 32, 32, 3) float32.
+    Also accepts torchvision's ``cifar-10-batches-py/`` pickle batches."""
+    found = _try_npz("cifar10.npz") or _try_cifar_batches()
     if found is not None:
         x_tr, y_tr, x_te, y_te = found
         x_tr = x_tr.astype(jnp.float32) / 255.0

@@ -1,9 +1,15 @@
-"""$PMPX_DATA_DIR .npz ingestion path (the real-data seam).
+"""$PMPX_DATA_DIR real-data ingestion paths (npz / IDX / CIFAR batches).
 
 The environment is egress-free so the loaders fall back to synthetic
-blobs, but the npz branch is the one a production user hits with real
-MNIST/CIFAR bytes — exercise it against locally generated fixtures.
+blobs, but the on-disk branches are what a production user hits with
+real MNIST/CIFAR bytes — exercise all three accepted formats (pmpx npz,
+torchvision's MNIST/raw IDX files, torchvision's cifar-10-batches-py
+pickles) against locally generated fixtures.
 """
+
+import gzip
+import pickle
+import struct
 
 import numpy as np
 import pytest
@@ -45,6 +51,103 @@ def test_cifar_npz_ingestion(data_dir):
     assert x_tr.shape == (48, 32, 32, 3)
     assert float(x_tr.max()) <= 1.0 and float(x_tr.min()) >= 0.0
     assert y_tr.dtype == np.int32
+
+
+def _idx_bytes(arr: np.ndarray) -> bytes:
+    header = struct.pack(
+        f">HBB{arr.ndim}I", 0, 0x08, arr.ndim, *arr.shape
+    )
+    return header + arr.astype(np.uint8).tobytes()
+
+
+def _write_mnist_idx(root, n_tr=40, n_te=12, gz=False, raw_subdir=False):
+    rng = np.random.default_rng(1)
+    base = root / "MNIST" / "raw" if raw_subdir else root
+    base.mkdir(parents=True, exist_ok=True)
+    files = {
+        "train-images-idx3-ubyte": rng.integers(
+            0, 256, (n_tr, 28, 28), dtype=np.uint8
+        ),
+        "train-labels-idx1-ubyte": rng.integers(
+            0, 10, (n_tr,), dtype=np.uint8
+        ),
+        "t10k-images-idx3-ubyte": rng.integers(
+            0, 256, (n_te, 28, 28), dtype=np.uint8
+        ),
+        "t10k-labels-idx1-ubyte": rng.integers(
+            0, 10, (n_te,), dtype=np.uint8
+        ),
+    }
+    for name, arr in files.items():
+        payload = _idx_bytes(arr)
+        if gz:
+            (base / (name + ".gz")).write_bytes(gzip.compress(payload))
+        else:
+            (base / name).write_bytes(payload)
+    return files
+
+
+def test_mnist_idx_ingestion(data_dir):
+    files = _write_mnist_idx(data_dir, raw_subdir=True)
+    x_tr, y_tr, x_te, y_te = load_mnist(n_train=32, n_test=8)
+    assert x_tr.shape == (32, 28, 28) and y_tr.dtype == np.int32
+    want = (
+        files["train-images-idx3-ubyte"][:32].astype(np.float32) / 255.0
+        - 0.1307
+    ) / 0.3081
+    np.testing.assert_allclose(np.asarray(x_tr), want, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(y_te), files["t10k-labels-idx1-ubyte"][:8]
+    )
+
+
+def test_mnist_idx_gz_in_plain_dir(data_dir):
+    _write_mnist_idx(data_dir, gz=True, raw_subdir=False)
+    x_tr, *_ = load_mnist(n_train=16, n_test=4)
+    assert x_tr.shape == (16, 28, 28)
+
+
+def test_idx_rejects_wrong_dtype(data_dir, tmp_path):
+    bad = struct.pack(">HBB1I", 0, 0x0D, 1, 4) + b"\0" * 16  # f32 magic
+    p = tmp_path / "bad-idx"
+    p.write_bytes(bad)
+    from pmpx.data import _read_idx
+
+    with pytest.raises(ValueError, match="not a u8 IDX"):
+        _read_idx(str(p))
+
+
+def test_cifar_batches_ingestion(data_dir):
+    root = data_dir / "cifar-10-batches-py"
+    root.mkdir()
+    rng = np.random.default_rng(2)
+    per = 10
+    train_rows, train_labels = [], []
+    for i in range(1, 6):
+        rows = rng.integers(0, 256, (per, 3072), dtype=np.uint8)
+        labels = rng.integers(0, 10, (per,)).tolist()
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rows, b"labels": labels}, f)
+        train_rows.append(rows)
+        train_labels += labels
+    te_rows = rng.integers(0, 256, (per, 3072), dtype=np.uint8)
+    with open(root / "test_batch", "wb") as f:
+        pickle.dump(
+            {b"data": te_rows, b"labels": rng.integers(0, 10, (per,)).tolist()},
+            f,
+        )
+    x_tr, y_tr, x_te, y_te = load_cifar10(n_train=50, n_test=10)
+    assert x_tr.shape == (50, 32, 32, 3) and x_te.shape == (10, 32, 32, 3)
+    # CHW pickle rows -> NHWC float in [0, 1]
+    want = (
+        np.concatenate(train_rows)
+        .reshape(-1, 3, 32, 32)
+        .transpose(0, 2, 3, 1)
+        .astype(np.float32)
+        / 255.0
+    )
+    np.testing.assert_allclose(np.asarray(x_tr), want, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_tr), np.array(train_labels))
 
 
 def test_synthetic_fallback_without_npz(data_dir):
