@@ -1,18 +1,25 @@
-"""Wedge watchdog for the paper-protocol queue.
+"""Wedge watchdog + outage recovery for the paper-protocol queue.
 
 The axon TPU transport occasionally wedges: a device call never returns,
 the stage child sits at ~0% CPU on a futex forever, and the sequential
 queue (scripts/run_paper.py) blocks behind it (observed: CIFAR MP stage
-hung 70+ min with all threads in futex_do_wait).  The queue's recovery
-path — nonzero exit, cooldown, retry with ``--resume`` — only triggers
-if the child *exits*, so this watchdog supplies the exit.
+hung 70+ min with all threads in futex_do_wait).  Retrying immediately
+makes it worse — fresh backend inits die after ~25 min with UNAVAILABLE,
+and the wedge only clears while NO process competes for the grant.
 
-Rule: a stage child whose artifacts (its ``--out-dir``) and stage log
-have all been silent for longer than ``STALL_S`` gets SIGTERMed, by
-exact PID.  The threshold is generous (default 35 min) because the axon
-remote-compile helper can legitimately take 3-25 min with no file
-activity; chunked paper runs checkpoint every <=60 s of device time, so
-a healthy post-compile run writes at least every few minutes.
+So the watchdog runs the full recovery protocol, not just the kill:
+
+1. watch: a stage child whose artifacts (its ``--out-dir``) and stage
+   logs have all been silent for longer than ``STALL_S`` gets SIGTERMed
+   by exact PID.  The threshold is generous (35 min) because the axon
+   remote-compile helper can legitimately take 3-25 min with no file
+   activity; healthy chunked runs checkpoint every <= 60 s device time.
+2. quiesce: the queue driver itself is SIGSTOPped so its retry/cooldown
+   loop cannot re-enter the wedge.
+3. recover: probe the chip every ``POLL_RECOVERY_S`` with a
+   short-bounded tiny op in a subprocess; when one succeeds, SIGCONT
+   the driver (its in-flight ``subprocess`` wait returns the kill rc,
+   the stage is retried with ``--resume``) and go back to watching.
 
 Usage: nohup python scripts/queue_watchdog.py <driver_pid> > wd.log 2>&1 &
 """
@@ -21,6 +28,7 @@ from __future__ import annotations
 
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -28,6 +36,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STATE_DIR = os.path.join(REPO, "artifacts", "paper_queue")
 STALL_S = 35 * 60
 POLL_S = 60
+POLL_RECOVERY_S = 600
+PROBE_TIMEOUT_S = 150
+PROBE = (
+    "import jax, jax.numpy as jnp; "
+    "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+    "print('CHIP_OK', jax.default_backend())"
+)
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def children_of(pid: int) -> list[int]:
@@ -80,10 +99,42 @@ def start_time(pid: int) -> float:
         return time.time()
 
 
+def chip_answers() -> bool:
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE], cwd=REPO,
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+        )
+        return "CHIP_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def recover(driver: int) -> None:
+    """Quiesce the driver, probe until the chip answers, resume."""
+    try:
+        os.kill(driver, signal.SIGSTOP)
+        log(f"driver {driver} SIGSTOPped for quiet recovery")
+    except OSError as e:
+        log(f"SIGSTOP failed: {e}")
+        return
+    while os.path.exists(f"/proc/{driver}"):
+        if chip_answers():
+            log("chip recovered")
+            try:
+                os.kill(driver, signal.SIGCONT)
+                log(f"driver {driver} SIGCONTed")
+            except OSError as e:
+                log(f"SIGCONT failed: {e}")
+            return
+        log("chip still wedged")
+        time.sleep(POLL_RECOVERY_S)
+
+
 def main() -> None:
     driver = int(sys.argv[1])
-    print(f"watching queue driver pid={driver}, stall threshold "
-          f"{STALL_S / 60:.0f} min", flush=True)
+    log(f"watching queue driver pid={driver}, stall threshold "
+        f"{STALL_S / 60:.0f} min")
     while os.path.exists(f"/proc/{driver}"):
         for kid in children_of(driver):
             argv = cmdline(kid)
@@ -95,15 +146,15 @@ def main() -> None:
             alive_since = max(start_time(kid), latest_mtime(watched))
             silent = time.time() - alive_since
             if silent > STALL_S:
-                print(f"[{time.strftime('%H:%M:%S')}] stage pid={kid} "
-                      f"silent {silent / 60:.0f} min — SIGTERM "
-                      f"({' '.join(argv[-6:])})", flush=True)
+                log(f"stage pid={kid} silent {silent / 60:.0f} min — "
+                    f"SIGTERM ({' '.join(argv[-6:])})")
                 try:
                     os.kill(kid, signal.SIGTERM)
                 except OSError as e:
-                    print(f"kill failed: {e}", flush=True)
+                    log(f"kill failed: {e}")
+                recover(driver)
         time.sleep(POLL_S)
-    print("driver exited; watchdog done", flush=True)
+    log("driver exited; watchdog done")
 
 
 if __name__ == "__main__":

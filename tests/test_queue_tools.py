@@ -109,6 +109,24 @@ def test_watchdog_child_discovery_and_out_dir(watchdog):
     )
 
 
+def test_watchdog_recover_quiesces_then_resumes(watchdog, monkeypatch):
+    # fake driver: recover() must SIGSTOP it, poll the chip, and SIGCONT
+    # it once a probe succeeds
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    answers = iter([False, True])
+    monkeypatch.setattr(watchdog, "chip_answers", lambda: next(answers))
+    monkeypatch.setattr(watchdog, "POLL_RECOVERY_S", 0.1)
+    try:
+        watchdog.recover(proc.pid)
+        time.sleep(0.3)
+        with open(f"/proc/{proc.pid}/stat") as f:
+            state = f.read().split(") ")[1].split()[0]
+        assert state != "T"  # resumed, not left stopped
+    finally:
+        proc.terminate()
+        proc.wait()
+
+
 def test_recovery_driver_state(recovery):
     proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
     try:
