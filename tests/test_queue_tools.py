@@ -92,14 +92,16 @@ def test_watchdog_child_discovery_and_out_dir(watchdog):
     proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
     try:
         # /proc/<pid>/task/*/children is only guaranteed-accurate for
-        # stopped children; retry briefly to absorb kernel-side lag
-        for _ in range(20):
+        # stopped children, and /proc/<pid>/cmdline reads empty during
+        # the exec window; retry briefly to absorb both
+        argv = []
+        for _ in range(40):
             kids = watchdog.children_of(os.getpid())
-            if proc.pid in kids:
+            argv = watchdog.cmdline(proc.pid)
+            if proc.pid in kids and argv and argv[0]:
                 break
             time.sleep(0.25)
         assert proc.pid in kids
-        argv = watchdog.cmdline(proc.pid)
         assert argv[0] == sys.executable
     finally:
         proc.terminate()
