@@ -32,7 +32,6 @@ overhead).
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -71,28 +70,20 @@ def _chip_answers(attempts: int = 5, probe_timeout_s: int = 120) -> bool:
 
     A wedged axon grant hangs device calls (and fresh backend inits)
     indefinitely — observed for hours — which would hang this benchmark
-    and whatever invoked it.  Probe with a short-bounded tiny op in a
-    subprocess, retrying a few times in case the wedge is about to
-    clear; stdout stays JSON-only (diagnostics go to stderr).
+    and whatever invoked it.  ``pmpx.transport.probe_device`` runs a
+    short-bounded tiny op in a subprocess; retry a few times in case
+    the wedge is about to clear.  stdout stays JSON-only (diagnostics
+    go to stderr).
     """
-    code = (
-        "import jax, jax.numpy as jnp; "
-        "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
-        "print('CHIP_OK')"
-    )
+    from pmpx.transport import probe_device
+
     here = os.path.dirname(os.path.abspath(__file__))
     for i in range(attempts):
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", code], cwd=here,
-                capture_output=True, text=True, timeout=probe_timeout_s,
-            )
-            if "CHIP_OK" in out.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        print(f"bench: device probe {i + 1}/{attempts} failed; "
-              "transport may be wedged", file=sys.stderr, flush=True)
+        r = probe_device(timeout_s=probe_timeout_s, cwd=here)
+        if r["ok"]:
+            return True
+        print(f"bench: device probe {i + 1}/{attempts} failed "
+              f"({r['error']})", file=sys.stderr, flush=True)
         time.sleep(60)
     return False
 

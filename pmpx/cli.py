@@ -72,7 +72,22 @@ def main(argv=None):
     )
     plotp.add_argument("npz", help="recorder .npz with loss/acc arrays")
     plotp.add_argument("--out", default=None, help="output .pdf path")
+    docp = sub.add_parser(
+        "doctor", help="bounded environment/device health report "
+        "(never hangs on a wedged transport)"
+    )
+    docp.add_argument(
+        "--probe-timeout", type=float, default=120.0,
+        help="seconds to wait for the device probe subprocess",
+    )
     args, extra = parser.parse_known_args(argv)
+
+    if args.cmd == "doctor":
+        from pmpx.transport import doctor_report
+
+        report = doctor_report(probe_timeout_s=args.probe_timeout)
+        print(json.dumps(report, indent=2))
+        return 0 if report["device"]["ok"] else 1
 
     if args.cmd == "convert":
         from pmpx.runtime import read_trace
