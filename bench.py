@@ -84,7 +84,8 @@ def _chip_answers(attempts: int = 5, probe_timeout_s: int = 120) -> bool:
             return True
         print(f"bench: device probe {i + 1}/{attempts} failed "
               f"({r['error']})", file=sys.stderr, flush=True)
-        time.sleep(60)
+        if i + 1 < attempts:
+            time.sleep(60)
     return False
 
 

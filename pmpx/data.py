@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_mnist", "load_cifar10"]
+__all__ = ["load_mnist", "load_cifar10", "dataset_presence"]
 
 
 def _flip_labels(y, frac: float, key, classes: int = 10):
@@ -154,6 +154,24 @@ def _try_cifar_batches():
         jnp.asarray(x_te),
         jnp.asarray(y_te),
     )
+
+
+def dataset_presence() -> dict:
+    """Which real-dataset formats the loaders would find right now.
+
+    Single source of truth for ``pmpx.cli doctor`` — probes the same
+    paths the loaders read, so it can't drift from them.
+    """
+    d = _data_dir()
+    return {
+        "data_dir": d,
+        "mnist_npz": os.path.exists(os.path.join(d, "mnist.npz")),
+        "mnist_idx": _find_idx("train-images-idx3-ubyte") is not None,
+        "cifar10_npz": os.path.exists(os.path.join(d, "cifar10.npz")),
+        "cifar10_batches": os.path.exists(
+            os.path.join(d, "cifar-10-batches-py", "data_batch_1")
+        ),
+    }
 
 
 def _synthetic_images(

@@ -16,11 +16,15 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 __all__ = ["probe_device", "doctor_report"]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PROBE_CODE = (
     # some TPU plugins win over the JAX_PLATFORMS env var; re-assert the
@@ -43,67 +47,66 @@ def probe_device(timeout_s: float = 120.0, cwd: str | None = None) -> dict:
     Returns ``{"ok": True, "backend", "n_devices", "device_kind",
     "probe_s"}`` on success; ``{"ok": False, "error", "probe_s"}`` on
     timeout (the wedge signature) or nonzero exit.  Never blocks longer
-    than ``timeout_s``.
+    than ~``timeout_s``: output goes to temp files (not pipes — a
+    grandchild such as a remote-compile helper inheriting a captured
+    pipe would make the post-kill drain block forever) and on timeout
+    the whole process *group* is killed, not just the direct child.
+    ``cwd`` defaults to the repo root: some TPU plugins only register
+    from there, and a cwd-dependent probe would misreport a healthy
+    device as broken.
     """
     t0 = time.perf_counter()
-    try:
-        out = subprocess.run(
+    with tempfile.TemporaryFile("w+") as fout, \
+            tempfile.TemporaryFile("w+") as ferr:
+        proc = subprocess.Popen(
             [sys.executable, "-c", _PROBE_CODE],
-            cwd=cwd or os.getcwd(),
-            capture_output=True, text=True, timeout=timeout_s,
+            cwd=cwd or _REPO,
+            stdout=fout, stderr=ferr, start_new_session=True,
         )
-    except subprocess.TimeoutExpired:
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            return {
+                "ok": False,
+                "error": f"probe did not answer within {timeout_s:.0f}s "
+                         "(transport wedged?)",
+                "probe_s": round(time.perf_counter() - t0, 2),
+            }
+        dt = round(time.perf_counter() - t0, 2)
+        fout.seek(0)
+        ferr.seek(0)
+        stdout, stderr = fout.read(), ferr.read()
+    if rc != 0:
         return {
             "ok": False,
-            "error": f"probe did not answer within {timeout_s:.0f}s "
-                     "(transport wedged?)",
-            "probe_s": round(time.perf_counter() - t0, 2),
-        }
-    dt = round(time.perf_counter() - t0, 2)
-    if out.returncode != 0:
-        return {
-            "ok": False,
-            "error": out.stderr.strip()[-500:],
+            "error": stderr.strip()[-500:],
             "probe_s": dt,
         }
     try:
-        info = json.loads(out.stdout.strip().splitlines()[-1])
+        info = json.loads(stdout.strip().splitlines()[-1])
     except (ValueError, IndexError):
         return {
             "ok": False,
-            "error": f"unparseable probe output: {out.stdout[-200:]!r}",
+            "error": f"unparseable probe output: {stdout[-200:]!r}",
             "probe_s": dt,
         }
     return {"ok": True, "probe_s": dt, **info}
 
 
-def _dataset_formats(data_dir: str) -> dict:
-    """Which real-dataset formats are present under the data dir."""
-    j = os.path.join
-    return {
-        "data_dir": data_dir,
-        "mnist_npz": os.path.exists(j(data_dir, "mnist.npz")),
-        "mnist_idx": any(
-            os.path.exists(j(data_dir, sub, "train-images-idx3-ubyte" + ext))
-            for sub in ("", "MNIST/raw") for ext in ("", ".gz")
-        ),
-        "cifar10_npz": os.path.exists(j(data_dir, "cifar10.npz")),
-        "cifar10_batches": os.path.exists(
-            j(data_dir, "cifar-10-batches-py", "data_batch_1")
-        ),
-    }
-
-
 def doctor_report(probe_timeout_s: float = 120.0) -> dict:
     """Everything an operator needs to know before a long run."""
+    from pmpx.data import dataset_presence
     from pmpx.runtime import native_available
 
     report = {
         "jax_platforms_env": os.environ.get("JAX_PLATFORMS", ""),
         "native_runtime": native_available(),
-        "datasets": _dataset_formats(
-            os.environ.get("PMPX_DATA_DIR", "./data")
-        ),
+        "datasets": dataset_presence(),
         "device": probe_device(timeout_s=probe_timeout_s),
     }
     return report

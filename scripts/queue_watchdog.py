@@ -7,19 +7,25 @@ hung 70+ min with all threads in futex_do_wait).  Retrying immediately
 makes it worse — fresh backend inits die after ~25 min with UNAVAILABLE,
 and the wedge only clears while NO process competes for the grant.
 
-So the watchdog runs the full recovery protocol, not just the kill:
+This external watchdog backstops a driver that predates (or lost) its
+internal stall monitor.  Protocol:
 
-1. watch: a stage child whose artifacts (its ``--out-dir``) and stage
-   logs have all been silent for longer than ``STALL_S`` gets SIGTERMed
-   by exact PID.  The threshold is generous (35 min) because the axon
-   remote-compile helper can legitimately take 3-25 min with no file
-   activity; healthy chunked runs checkpoint every <= 60 s device time.
-2. quiesce: the queue driver itself is SIGSTOPped so its retry/cooldown
-   loop cannot re-enter the wedge.
-3. recover: probe the chip every ``POLL_RECOVERY_S`` with a
-   short-bounded tiny op in a subprocess; when one succeeds, SIGCONT
-   the driver (its in-flight ``subprocess`` wait returns the kill rc,
-   the stage is retried with ``--resume``) and go back to watching.
+1. watch: a stage child whose artifacts (its ``--out-dir``) and its own
+   stage log (found via the child's stdout fd — NOT every log in the
+   state dir, which other daemons append to) have been silent longer
+   than ``run_paper.STALL_S`` gets SIGTERMed by exact PID.  The
+   threshold is generous (35 min) because the axon remote-compile
+   helper can legitimately take 3-25 min with no file activity; healthy
+   chunked runs checkpoint every <= 60 s device time.
+2. quiesce: the queue driver is SIGSTOPped so its retry/cooldown loop
+   cannot re-enter the wedge.
+3. recover: probe the chip every ``POLL_RECOVERY_S`` with the shared
+   bounded probe; when one succeeds, SIGCONT the driver (its in-flight
+   wait returns the kill rc, the stage retries with ``--resume``) and
+   go back to watching.
+
+Shares ``chip_answers`` / ``_out_dir`` / ``_latest_mtime`` with the
+driver (single implementation in run_paper.py).
 
 Usage: nohup python scripts/queue_watchdog.py <driver_pid> > wd.log 2>&1 &
 """
@@ -28,21 +34,14 @@ from __future__ import annotations
 
 import os
 import signal
-import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-STATE_DIR = os.path.join(REPO, "artifacts", "paper_queue")
-STALL_S = 35 * 60
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import run_paper  # noqa: E402  (shared stdlib helpers; no side effects)
+
 POLL_S = 60
 POLL_RECOVERY_S = 600
-PROBE_TIMEOUT_S = 150
-PROBE = (
-    "import jax, jax.numpy as jnp; "
-    "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
-    "print('CHIP_OK', jax.default_backend())"
-)
 
 
 def log(msg: str) -> None:
@@ -69,27 +68,19 @@ def cmdline(pid: int) -> list[str]:
         return []
 
 
-def out_dir_of(argv: list[str]) -> str | None:
-    for i, a in enumerate(argv):
-        if a == "--out-dir" and i + 1 < len(argv):
-            return os.path.join(REPO, argv[i + 1])
-    return None
+def stage_log_of(pid: int) -> str | None:
+    """The stage's own log file = wherever the child's stdout points."""
+    try:
+        target = os.readlink(f"/proc/{pid}/fd/1")
+    except OSError:
+        return None
+    return target if target.startswith("/") else None
 
 
-def latest_mtime(paths: list[str]) -> float:
-    best = 0.0
-    for p in paths:
-        if not p:
-            continue
-        if os.path.isdir(p):
-            for name in os.listdir(p):
-                try:
-                    best = max(best, os.path.getmtime(os.path.join(p, name)))
-                except OSError:
-                    pass
-        elif os.path.exists(p):
-            best = max(best, os.path.getmtime(p))
-    return best
+# single implementations live in run_paper (the driver)
+out_dir_of = run_paper._out_dir
+latest_mtime = run_paper._latest_mtime
+chip_answers = run_paper.chip_answers
 
 
 def start_time(pid: int) -> float:
@@ -97,17 +88,6 @@ def start_time(pid: int) -> float:
         return os.path.getmtime(f"/proc/{pid}")
     except OSError:
         return time.time()
-
-
-def chip_answers() -> bool:
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", PROBE], cwd=REPO,
-            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
-        )
-        return "CHIP_OK" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
 
 
 def recover(driver: int) -> None:
@@ -134,18 +114,16 @@ def recover(driver: int) -> None:
 def main() -> None:
     driver = int(sys.argv[1])
     log(f"watching queue driver pid={driver}, stall threshold "
-        f"{STALL_S / 60:.0f} min")
+        f"{run_paper.STALL_S / 60:.0f} min")
     while os.path.exists(f"/proc/{driver}"):
         for kid in children_of(driver):
             argv = cmdline(kid)
             if "pmpx.cli" not in " ".join(argv):
                 continue
-            logs = [os.path.join(STATE_DIR, f)
-                    for f in os.listdir(STATE_DIR) if f.endswith(".log")]
-            watched = [out_dir_of(argv) or ""] + logs
+            watched = [out_dir_of(argv) or "", stage_log_of(kid) or ""]
             alive_since = max(start_time(kid), latest_mtime(watched))
             silent = time.time() - alive_since
-            if silent > STALL_S:
+            if silent > run_paper.STALL_S:
                 log(f"stage pid={kid} silent {silent / 60:.0f} min — "
                     f"SIGTERM ({' '.join(argv[-6:])})")
                 try:

@@ -36,6 +36,7 @@ import os
 import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -44,6 +45,54 @@ MAX_ATTEMPTS = 4
 COOLDOWN_S = 150  # a killed axon grant wedges the chip for minutes
 STALL_S = 35 * 60  # no-file-activity threshold before a stage is killed
 MONITOR_POLL_S = 30
+PROBE_TIMEOUT_S = 150
+RECOVERY_POLL_S = 600
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp; "
+    "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+    "print('CHIP_OK', jax.default_backend())"
+)
+
+
+def chip_answers(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """Bounded tiny-op probe in a throwaway subprocess (stdlib-only
+    sibling of ``pmpx.transport.probe_device``): output to a temp file
+    (a pipe could block the post-kill drain if a grandchild inherits
+    it), whole process group killed on timeout."""
+    with tempfile.TemporaryFile("w+") as fout:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_CODE], cwd=REPO,
+            stdout=fout, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        try:
+            proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            return False
+        fout.seek(0)
+        return "CHIP_OK" in fout.read()
+
+
+def wait_for_chip() -> None:
+    """Block until the transport answers a bounded probe.
+
+    Retrying a stage into a wedged transport is worse than useless:
+    fresh backend inits die after ~25 min with UNAVAILABLE and the
+    competing processes appear to keep the grant from recovering — so
+    after any failed attempt the queue holds here (the chip is idle:
+    the failed stage child is gone) instead of burning MAX_ATTEMPTS.
+    """
+    if chip_answers():
+        return
+    log("transport not answering; holding the queue until it recovers")
+    while not chip_answers():
+        time.sleep(RECOVERY_POLL_S)
+    log("transport recovered")
 
 
 def log(msg: str) -> None:
@@ -109,6 +158,7 @@ def run_stage(stage: dict) -> bool:
         return True
     logpath = os.path.join(STATE_DIR, f"{name}.log")
     cmd = [sys.executable, "-m", "pmpx.cli", "run"] + stage["argv"]
+    wait_for_chip()  # don't launch into a wedge a previous stage hit
     for attempt in range(1, MAX_ATTEMPTS + 1):
         log(f"start {name} attempt {attempt}: {' '.join(cmd)}")
         t0 = time.time()
@@ -129,6 +179,7 @@ def run_stage(stage: dict) -> bool:
             return True
         if attempt < MAX_ATTEMPTS:
             time.sleep(COOLDOWN_S)
+            wait_for_chip()
     log(f"FAILED {name} after {MAX_ATTEMPTS} attempts")
     return False
 

@@ -111,6 +111,47 @@ def test_watchdog_child_discovery_and_out_dir(watchdog):
     )
 
 
+def test_chip_answers_bounded_and_shared(run_paper, watchdog, monkeypatch):
+    # single implementation: the watchdog aliases the probe from the
+    # run_paper module it imported (the fixture loads its own copy of
+    # run_paper under a different name, so compare within the watchdog)
+    assert watchdog.chip_answers is watchdog.run_paper.chip_answers
+    monkeypatch.setattr(run_paper, "_PROBE_CODE", "print('CHIP_OK cpu')")
+    assert run_paper.chip_answers(timeout_s=30)
+    monkeypatch.setattr(
+        run_paper, "_PROBE_CODE", "import time; time.sleep(60)"
+    )
+    t0 = time.time()
+    assert not run_paper.chip_answers(timeout_s=2)
+    assert time.time() - t0 < 30
+
+
+def test_wait_for_chip_returns_fast_when_healthy(run_paper, monkeypatch):
+    monkeypatch.setattr(run_paper, "_PROBE_CODE", "print('CHIP_OK cpu')")
+    t0 = time.time()
+    run_paper.wait_for_chip()
+    assert time.time() - t0 < 30
+
+
+def test_stage_log_discovery_via_stdout_fd(watchdog, tmp_path):
+    logp = tmp_path / "stage.log"
+    with open(logp, "w") as lf:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", "import time; time.sleep(30)"],
+            stdout=lf,
+        )
+    try:
+        for _ in range(40):
+            got = watchdog.stage_log_of(proc.pid)
+            if got == str(logp):
+                break
+            time.sleep(0.25)
+        assert got == str(logp)
+    finally:
+        proc.terminate()
+        proc.wait()
+
+
 def test_watchdog_recover_quiesces_then_resumes(watchdog, monkeypatch):
     # fake driver: recover() must SIGSTOP it, poll the chip, and SIGCONT
     # it once a probe succeeds

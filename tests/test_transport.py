@@ -6,7 +6,6 @@ wedged/hung transport into a bounded failure instead of blocking, and
 """
 
 import json
-import subprocess
 import sys
 
 import pytest
@@ -24,23 +23,31 @@ def test_probe_healthy_cpu(monkeypatch, tmp_path):
 
 
 def test_probe_times_out_bounded(monkeypatch):
-    # simulate the wedge: the probe subprocess never answers
-    def hang(*a, **k):
-        raise subprocess.TimeoutExpired(cmd=a[0], timeout=k["timeout"])
+    # simulate the wedge: the probe subprocess never answers — and give
+    # it a grandchild holding the output stream, the case that blocks a
+    # pipe-draining implementation forever after the kill
+    import time as _time
 
-    monkeypatch.setattr(transport.subprocess, "run", hang)
-    r = transport.probe_device(timeout_s=3)
+    monkeypatch.setattr(
+        transport, "_PROBE_CODE",
+        "import subprocess, sys, time\n"
+        "subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(60)'])\n"
+        "time.sleep(60)\n",
+    )
+    t0 = _time.time()
+    r = transport.probe_device(timeout_s=2)
     assert not r["ok"] and "wedged" in r["error"]
+    assert _time.time() - t0 < 30  # bounded despite the grandchild
 
 
 def test_probe_reports_nonzero_exit(monkeypatch):
-    class Out:
-        returncode = 1
-        stdout = ""
-        stderr = "RuntimeError: Unable to initialize backend"
-
-    monkeypatch.setattr(transport.subprocess, "run", lambda *a, **k: Out())
-    r = transport.probe_device(timeout_s=3)
+    monkeypatch.setattr(
+        transport, "_PROBE_CODE",
+        "import sys\n"
+        "sys.stderr.write('RuntimeError: Unable to initialize backend')\n"
+        "sys.exit(1)\n",
+    )
+    r = transport.probe_device(timeout_s=30)
     assert not r["ok"] and "initialize backend" in r["error"]
 
 
