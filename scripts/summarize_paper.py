@@ -115,9 +115,62 @@ def cifar(out_dir="artifacts/cifar_paper"):
         ),
         **ref,
     }
+    _cifar_compare_pdf(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(res, f, indent=1)
+
+
+def _cifar_compare_pdf(out_dir):
+    """Side-by-side figure: pmpx traces (solid) vs the reference's
+    committed 50k-step traces (dashed).  The datasets differ (synthetic
+    stand-in vs real CIFAR-10 — the figure says so), so the comparison
+    is of curve SHAPE and sampler ordering, not raw accuracy."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cells = (
+        ("sp_hmc", "SP", "mhhmc", "tab:blue"),
+        ("mp_hmc", "MP", "mphmc", "tab:orange"),
+        ("pmp_hmc", "PMP", "pmphmc", "tab:green"),
+    )
+    fig, (axl, axa) = plt.subplots(1, 2, figsize=(11, 4))
+    drew = False
+    for algo, rdir, rstem, color in cells:
+        base = os.path.join(out_dir, f"cifar_{algo}")
+        try:
+            loss = np.load(base + ".loss.npy")
+            te = np.load(base + ".test_acc.npy")
+        except FileNotFoundError:
+            continue
+        axl.plot(loss, color=color, lw=0.6, label=f"pmpx {algo}")
+        axa.plot(te, color=color, lw=0.6)
+        rl = f"{REF}/complex_nets/Cifar-10/{rdir}/cifar_{rstem}_loss.npy"
+        ra = f"{REF}/complex_nets/Cifar-10/{rdir}/cifar_{rstem}_test_acc.npy"
+        if os.path.exists(rl) and os.path.exists(ra):
+            axl.plot(np.load(rl), color=color, lw=0.6, ls="--", alpha=0.6,
+                     label=f"reference {algo}")
+            axa.plot(np.load(ra), color=color, lw=0.6, ls="--", alpha=0.6)
+        drew = True
+    if not drew:
+        plt.close(fig)
+        return
+    axl.set_yscale("log")
+    axl.set_xlabel("superstep")
+    axl.set_ylabel("loss (log)")
+    axa.set_xlabel("superstep")
+    axa.set_ylabel("test accuracy")
+    fig.suptitle(
+        "CIFAR LeNet HMC: pmpx (synthetic stand-in, solid) vs reference "
+        "committed traces (real CIFAR-10, dashed) — compare shape/"
+        "ordering, not raw values"
+    )
+    fig.legend(loc="lower center", ncol=6, fontsize=8)
+    fig.tight_layout(rect=(0, 0.06, 1, 1))
+    fig.savefig(os.path.join(out_dir, "compare_vs_reference.pdf"))
+    plt.close(fig)
     print(json.dumps(res, indent=1))
 
 
