@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "adopt_prefix_run",
     "save_checkpoint",
     "load_checkpoint",
     "resume_chain",
@@ -90,6 +91,53 @@ class TraceAccumulator:
         if len(diffs) < 2:
             return None
         return float(np.median(diffs[1:]) / chunk_steps)
+
+
+def adopt_prefix_run(
+    out_dir: str, name_of, num_steps: int, keys=()
+) -> Optional[int]:
+    """Adopt the longest shorter run of the same protocol as a resume seed.
+
+    The paper-protocol trace stems embed ``num_steps``
+    (``reference_style_name``: ``..._sample_number_{steps}...``), so
+    re-launching an experiment with a *larger* step target would start
+    from scratch even though a bitwise-resumable prefix checkpoint sits
+    next to it under the old stem.  Given ``name_of(steps) -> stem``,
+    this finds the sibling ``.ckpt`` with the largest embedded step
+    count < ``num_steps`` whose stem round-trips through ``name_of``
+    (so only the identical algo/alpha/model/N protocol matches) and
+    copies its checkpoint plus the given per-chunk trace arrays to the
+    new stem.  Copy, not move: the shorter run's artifacts remain valid
+    results in their own right.  Returns the adopted run's embedded
+    step count, or None if there was nothing to adopt (including when
+    the new-stem checkpoint already exists).
+    """
+    import re
+    import shutil
+
+    new_name = name_of(num_steps)
+    new_ckpt = os.path.join(out_dir, new_name + ".ckpt")
+    if os.path.exists(new_ckpt) or not os.path.isdir(out_dir):
+        return None
+    best = None
+    for fn in os.listdir(out_dir):
+        if not fn.endswith(".ckpt"):
+            continue
+        m = re.search(r"sample_number_(\d+)", fn)
+        if not m:
+            continue
+        steps = int(m.group(1))
+        if steps < num_steps and fn[:-5] == name_of(steps):
+            if best is None or steps > best:
+                best = steps
+    if best is None:
+        return None
+    old_name = name_of(best)
+    for suffix in [".ckpt"] + [f".{k}.npy" for k in keys]:
+        src = os.path.join(out_dir, old_name + suffix)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(out_dir, new_name + suffix))
+    return best
 
 
 def save_checkpoint(

@@ -169,10 +169,25 @@ def run(
         import os
 
         from pmpx.checkpoint import (
-            TraceAccumulator, resume_chain, save_checkpoint,
+            TraceAccumulator, adopt_prefix_run, resume_chain,
+            save_checkpoint,
         )
 
         ckpt = os.path.join(out_dir, f"{name}.ckpt")
+        if resume and not os.path.exists(ckpt):
+            # extending a prefix run (same protocol, larger num_steps):
+            # the stem embeds num_steps, so adopt the longest sibling
+            # prefix instead of re-running it from step 0
+            adopted = adopt_prefix_run(
+                out_dir,
+                lambda s: reference_style_name(
+                    algo.upper(), alpha, s, model=model, N=N
+                ),
+                num_steps,
+                keys=("loss",),
+            )
+            if adopted is not None:
+                print(f"adopted {adopted}-step prefix run as resume seed")
         fresh = not (resume and os.path.exists(ckpt))
         # per-chunk disk accumulation: a resumed run (which only returns
         # post-crash chunks) still ends with the full-history trace
