@@ -119,6 +119,7 @@ def cifar(out_dir="artifacts/cifar_paper"):
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
 
 
 def _cifar_compare_pdf(out_dir):
@@ -171,7 +172,6 @@ def _cifar_compare_pdf(out_dir):
     fig.tight_layout(rect=(0, 0.06, 1, 1))
     fig.savefig(os.path.join(out_dir, "compare_vs_reference.pdf"))
     plt.close(fig)
-    print(json.dumps(res, indent=1))
 
 
 def bnn(out_dir="artifacts/bnn_flagship"):
