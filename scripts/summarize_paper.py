@@ -278,7 +278,51 @@ def mnist(out_dir="artifacts/mnist_paper"):
         }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(res, f, indent=1)
+    _mnist_curves_pdf(out_dir)
     print(json.dumps(res, indent=1))
+
+
+def _mnist_curves_pdf(out_dir):
+    """One panel per model (FC/CNN/LSTM), every algo's loss trace at its
+    honest length.  The reference commits no MNIST traces (scripts +
+    model pkls only), so this is the pmpx-side record of the 9-cell
+    grid's paper-scale runs."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    by_model = {}
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.loss.npy"))):
+        stem = os.path.basename(path)[: -len(".loss.npy")]
+        algo = stem.split("_")[0]
+        for m in ("FC", "CNN", "LSTM"):
+            if stem.endswith(f"{m}_N_7") or f"{m}_N_" in stem:
+                by_model.setdefault(m, []).append((algo, np.load(path)))
+                break
+    if not by_model:
+        return
+    models = [m for m in ("FC", "CNN", "LSTM") if m in by_model]
+    fig, axes = plt.subplots(1, len(models), figsize=(5 * len(models), 4))
+    if len(models) == 1:
+        axes = [axes]
+    colors = {"MH": "tab:blue", "MP": "tab:orange", "PMP": "tab:green"}
+    for ax, m in zip(axes, models):
+        for algo, loss in sorted(by_model[m]):
+            ax.plot(loss, lw=0.5, color=colors.get(algo, "gray"),
+                    label=f"{algo} ({len(loss)} steps)", alpha=0.85)
+        ax.set_yscale("log")
+        ax.set_xlabel("superstep")
+        ax.set_title(m)
+        ax.legend(fontsize=7)
+    axes[0].set_ylabel("tempered CE loss (log)")
+    fig.suptitle(
+        "MNIST paper-protocol cells, de-saturated synthetic stand-in "
+        "(honest step counts per legend)"
+    )
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "curves.pdf"))
+    plt.close(fig)
 
 
 if __name__ == "__main__":
