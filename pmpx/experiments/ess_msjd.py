@@ -107,7 +107,19 @@ def _emit_all_cell(
             sq_sum += float((d * d).sum())
         last = np.asarray(lastc, np.float64)
     dt = time.perf_counter() - t0
+    return _finish_emit_cell(
+        roots, cols, colpath, sq_sum, burn_in, num_steps, dt, keep_emit
+    )
 
+
+def _finish_emit_cell(
+    roots, cols, colpath, sq_sum, burn_in, num_steps, dt, keep_emit
+):
+    """Shared estimator tail of both emit-all paths: root ESS/MSJD,
+    per-draw-slot stream ESS sum, flattened-stream MSJD numerator."""
+    import os
+
+    P = cols.shape[0]
     root_e = float(ess(jnp.asarray(roots[burn_in:, 0])))
     root_m = float(msjd(jnp.asarray(roots[burn_in:]))) * (
         num_steps - burn_in
@@ -124,6 +136,65 @@ def _emit_all_cell(
     if not keep_emit:
         os.remove(colpath)
     return root_e, root_m, all_e, all_m, dt
+
+
+def _emit_all_cell_fused(
+    target, spec, theta0, num_steps, burn_in, emit_chunk, out_dir,
+    seed, keep_emit, tag,
+):
+    """The emit-all protocol cell on the production megakernel: the
+    per-slot draws, the root path, the within-step squared-jump sums,
+    and each step's last-slot state all come out of the Pallas kernel
+    (``fused_chain.make_fused_chain(emit="all")``); the host stitches
+    the step/chunk boundary jumps ``||last[t] - root[t+1]||^2`` and runs
+    the same estimator tail as the scan cell."""
+    import os
+
+    from pmpx.kernels import fused_chain as fc
+
+    cfg = fc.spec_to_cfg(spec)
+    P = (cfg.N + 1) ** cfg.depth
+    kchunk = 500
+    # keep every device call one compile: emit_chunk a multiple of the
+    # kernel chunk, and the tail call shaped like the others
+    emit_chunk = max(kchunk, (emit_chunk // kchunk) * kchunk)
+    runk = fc.make_fused_chain(target, cfg, chunk=kchunk, emit="all")
+
+    os.makedirs(out_dir, exist_ok=True)
+    colpath = os.path.join(out_dir, f"emit_{tag}.npy")
+    cols = np.lib.format.open_memmap(
+        colpath, mode="w+", dtype=np.float32, shape=(P, num_steps)
+    )
+    roots = np.empty((num_steps, 3), np.float32)
+    jumps = np.empty(num_steps, np.float64)
+    lasts = np.empty((num_steps, 3), np.float32)
+    key = jax.random.key(seed)
+    theta = theta0
+    n0 = min(emit_chunk, num_steps)
+    # compile outside the timed window (result discarded, like the scan
+    # cell's warm-up)
+    jax.block_until_ready(runk(jax.random.fold_in(key, 0), theta, n0))
+    t0 = time.perf_counter()
+    for s in range(0, num_steps, emit_chunk):
+        n = min(emit_chunk, num_steps - s)
+        out = runk(jax.random.fold_in(key, s), theta, n)
+        cols[:, s:s + n] = np.asarray(out["emit_b0"])
+        roots[s:s + n] = np.asarray(out["root"])
+        jumps[s:s + n] = np.asarray(out["jumps"], np.float64)
+        lasts[s:s + n] = np.asarray(out["last"])
+        theta = out["root"][-1]
+    dt = time.perf_counter() - t0
+
+    # flattened-stream MSJD numerator: within-step sums from the kernel
+    # plus every boundary jump last[t] -> root[t+1] (the next step's
+    # slot-0 draw IS the next root under all_first); a jump is kept iff
+    # its earlier element is post-burn-in, i.e. t >= burn_in — exactly
+    # the scan cell's gidx >= burn_in*P rule at step granularity
+    d = lasts[:-1].astype(np.float64) - roots[1:].astype(np.float64)
+    sq_sum = float(jumps[burn_in:].sum()) + float((d[burn_in:] ** 2).sum())
+    return _finish_emit_cell(
+        roots, cols, colpath, sq_sum, burn_in, num_steps, dt, keep_emit
+    )
 
 
 def run(
@@ -161,12 +232,15 @@ def run(
       analysis treats the P dump streams as chains, ``skewness.ipynb``)
       and MSJD is over the iteration-major flattened emitted stream.
       Root-path numbers are reported alongside from the same run.
-      Scan path only (the megakernel traces the root path); the wall
-      clock includes the device->host emission the protocol requires
-      (the reference's txt dumps sat inside its timed loop too) but
-      excludes compile, like the root protocol's untimed warm-up.
-      Emission is chunked (``emit_chunk`` supersteps per device call)
-      and spooled to a disk memmap (deleted unless ``keep_emit``).
+      With ``method='fused_chain'`` the cell runs on the production
+      megakernel (``emit="all"``: per-slot draws, within-step jump
+      sums, and boundary states all computed in-kernel, P <= 512);
+      otherwise on the scan path.  The wall clock includes the
+      device->host emission the protocol requires (the reference's txt
+      dumps sat inside its timed loop too) but excludes compile, like
+      the root protocol's untimed warm-up.  Emission is chunked
+      (``emit_chunk`` supersteps per device call) and spooled to a disk
+      memmap (deleted unless ``keep_emit``).
     """
     Ps = as_tuple(Ps)
     algos = as_tuple(algos)
@@ -177,11 +251,8 @@ def run(
         raise ValueError("chains > 1 requires method='fused_chain'")
     if trace not in ("root", "all"):
         raise ValueError(f"unknown trace mode {trace!r}")
-    if trace == "all" and (fused_chain or chains > 1):
-        raise ValueError(
-            "trace='all' needs the scan path (the megakernel traces the "
-            "root path only); use method='auto' and chains=1"
-        )
+    if trace == "all" and chains > 1:
+        raise ValueError("trace='all' supports chains=1 only")
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
     target = BayesLinReg(
         x, y, temper=1.0 / 2000.0,
@@ -203,7 +274,10 @@ def run(
                     selection="all_first",
                 )
             if trace == "all":
-                root_e, root_m, all_e, all_m, dt = _emit_all_cell(
+                cell = _emit_all_cell_fused if fused_chain else (
+                    _emit_all_cell
+                )
+                root_e, root_m, all_e, all_m, dt = cell(
                     target, spec, theta0, num_steps, burn_in,
                     emit_chunk, out_dir, seed, keep_emit,
                     tag=f"{algo}_P{P}",

@@ -41,6 +41,20 @@ selection mode), stabilizer "none".  The in-kernel PRNG stream differs
 from jax.random, so agreement with the XLA path is statistical
 (tested) rather than bitwise.
 
+``emit="all"`` additionally implements the reference's ESS-protocol
+emission (``ess_per_s_MP.cu:265-278``: every proposal slot's resampled
+draw is dumped each iteration, the first draw becoming the next state —
+``selection="all_first"``).  The P per-slot categorical draws live on
+SUBLANES (a column of uniforms from the in-kernel PRNG), so the
+counting-select generalizes to all slots at once as one outer
+comparison against the row CDF — ``k[i] = #{lanes j: cdf[j] < u[i]}``
+— with no gathers and no transposes; the per-slot selected states
+follow by a broadcast one-hot mask, and the within-step MSJD jump sum
+is three (L, L) @ (L, 1) matmuls against a constant sublane-shift
+matrix.  Root state, within-step jump sum, and the last slot's state
+ride the (8, steps) meta trace (rows 0-2 / 3 / 4-6), so the host can
+stitch cross-step and cross-chunk boundary jumps exactly.
+
 Reference counterparts: the per-iteration host loops of
 ``conv_mp.cu:180-264`` / ``500_MP.cu`` / ``500_PMP.cu`` — the cells where
 launch+transfer overhead dominates the A100 numbers.
@@ -76,11 +90,19 @@ def _lane_extent(P: int) -> int:
     return -(-max(P, _LANES) // _LANES) * _LANES
 
 
-def supports(cfg) -> bool:
-    """Whether this kernel implements cfg's sampler exactly."""
+def supports(cfg, emit: str = "root") -> bool:
+    """Whether this kernel implements cfg's sampler exactly.
+
+    ``emit="all"`` (the reference ESS protocol's per-slot emission) caps
+    P at 512: the per-step (L, L) compare/one-hot intermediates and the
+    (L, chunk) emitted trace must fit VMEM next to the existing
+    constants.  512 is the protocol's own largest P (``data_trans.py``).
+    """
     base = cfg.N + 1
     P = base**cfg.depth
     if not (P <= _MAX_P and cfg.stabilizer == "none"):
+        return False
+    if emit == "all" and _lane_extent(P) > 512:
         return False
     if cfg.N == 1 or cfg.depth == 1:
         return True
@@ -154,10 +176,15 @@ def _dot(a, b):
 
 def _chain_kernel(
     seed_ref, theta0_ref, xg_ref, yg_ref, cumT_ref, Ms_ref, uin_ref,
-    trace_ref, *,
+    *refs,
     steps, P, L, depth, N, n_data, temper, step_size, trans_sigma,
-    trans_norm, mode, rng,
+    trans_norm, mode, rng, emit,
 ):
+    if emit == "all":
+        uemit_ref, shift_ref, trace_ref, all_ref = refs
+    else:
+        uemit_ref = shift_ref = all_ref = None
+        (trace_ref,) = refs
     if rng == "kernel":
         pltpu.prng_seed(seed_ref[0])
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
@@ -166,6 +193,7 @@ def _chain_kernel(
     row_valid = (row < 3).astype(jnp.float32)  # params live in rows 0..2
     lane0 = (lane == 0).astype(jnp.float32)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, steps), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)  # slots: sublanes
 
     # data sufficient statistics: the sums below are loop-invariant, so
     # Mosaic hoists them — one streaming pass over the (rows, 128) grids
@@ -176,17 +204,28 @@ def _chain_kernel(
     yg = yg_ref[...]
 
     def step(t, carry):
-        theta, trace = carry  # (8, 1), (8, steps)
+        if emit == "all":
+            theta, trace, alltr = carry  # (8, 1), (8, steps), (L, steps)
+        else:
+            theta, trace = carry  # (8, 1), (8, steps)
         if rng == "kernel":
             u1 = _uniform((8, L))
             u2 = _uniform((8, L))
             usel = _uniform((1, L))
+            if emit == "all":
+                # per-slot draw column: full-lane PRNG shape (sub-tile
+                # lane extents are untested Mosaic territory), lane 0
+                ucol = jax.lax.slice_in_dim(
+                    _uniform((L, _LANES)), 0, 1, axis=1
+                )  # (L, 1)
         else:
             # injected uniforms: 17 rows per step (8 + 8 + 1) — the
             # testable path (interpret mode stubs the hardware PRNG)
             u1 = uin_ref[pl.ds(t * 17, 8), :]
             u2 = uin_ref[pl.ds(t * 17 + 8, 8), :]
             usel = uin_ref[pl.ds(t * 17 + 16, 1), :]
+            if emit == "all":
+                ucol = uemit_ref[:, pl.ds(t, 1)]  # (L, 1)
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
         eps = step_size * z * valid * row_valid  # (8, L)
 
@@ -294,46 +333,131 @@ def _chain_kernel(
         zmax = jnp.max(jnp.where(lane < P, logA, -1e30))
         w = jnp.exp(logA - zmax) * valid  # (1, L)
         cdf = _dot(w, cumT_ref[...])  # inclusive prefix sums (MXU)
-        u = jnp.sum(usel * lane0) * jnp.sum(w)
+        if emit == "all":
+            # P iid categorical draws (selection="all_first": slot 0's
+            # draw becomes the next state).  Slots live on sublanes so
+            # the counting-select runs for all of them at once as one
+            # (L, L) outer comparison — searchsorted side="left" exactly,
+            # like the root path's count.  Padded lanes j >= P have
+            # cdf[j] = wsum >= u, so they never inflate a count.
+            wsum = jnp.sum(w)
+            u_col = ucol * wsum  # (L, 1) thresholds, one per slot
+            cnt = jnp.sum(
+                (cdf < u_col).astype(jnp.float32), axis=1, keepdims=True
+            )
+            k_col = jnp.minimum(cnt, float(P - 1))  # (L, 1)
+            # per-slot selected states: broadcast one-hot rows, three
+            # masked lane reductions (no gathers)
+            O = (lane.astype(jnp.float32) == k_col).astype(jnp.float32)
+            sel0 = jnp.sum(O * Y[0:1, :], axis=1, keepdims=True)  # (L,1)
+            sel1 = jnp.sum(O * Y[1:2, :], axis=1, keepdims=True)
+            sel2 = jnp.sum(O * Y[2:3, :], axis=1, keepdims=True)
+            # the next state is slot 0's draw — reuse the proven
+            # row-one-hot state update with k = k_col[0]
+            k = jnp.sum(k_col * (slot == 0).astype(jnp.float32))
+            # within-step flattened-stream jumps (slot i-1 -> i): the
+            # previous slot's state via the constant sublane-shift matmul
+            SM = shift_ref[...]
+            p0 = _dot(SM, sel0)
+            p1 = _dot(SM, sel1)
+            p2 = _dot(SM, sel2)
+            jmask = jnp.logical_and(slot >= 1, slot < P).astype(
+                jnp.float32
+            )
+            J = jnp.sum(
+                jmask * (
+                    (sel0 - p0) ** 2 + (sel1 - p1) ** 2 + (sel2 - p2) ** 2
+                )
+            )
+            lastm = (slot == P - 1).astype(jnp.float32)
+            last0 = jnp.sum(sel0 * lastm)
+            last1 = jnp.sum(sel1 * lastm)
+            last2 = jnp.sum(sel2 * lastm)
+        else:
+            u = jnp.sum(usel * lane0) * jnp.sum(w)
         # select the first lane with cdf >= u by *counting* lanes below u
         # (np.searchsorted side="left" + clamp, exactly).  An interval
         # test like (cdf - w < u) & (cdf >= u) recomputes each lane's
         # lower edge in f32 and can select zero or two lanes whenever the
         # recomputed edge differs from the neighbor's cdf by an ulp; the
         # count is immune to that and to u landing past cdf[-1].
-        k = jnp.minimum(
-            jnp.sum((cdf < u).astype(jnp.float32)), float(P - 1)
-        )
+        if emit != "all":
+            k = jnp.minimum(
+                jnp.sum((cdf < u).astype(jnp.float32)), float(P - 1)
+            )
         onehot = (lane.astype(jnp.float32) == k).astype(jnp.float32)
         theta2 = jnp.sum(Y * onehot * valid, axis=1, keepdims=True)
-        trace2 = trace + theta2 * (t_iota == t).astype(jnp.float32)
+        hit = (t_iota == t).astype(jnp.float32)  # (1, steps)
+        if emit == "all":
+            # meta trace rows: 0-2 root state, 3 within-step jump sum,
+            # 4-6 last slot's state (for host-side boundary jumps)
+            rowf = row.astype(jnp.float32)
+            upd = (
+                theta2
+                + J * (rowf == 3.0)
+                + last0 * (rowf == 4.0)
+                + last1 * (rowf == 5.0)
+                + last2 * (rowf == 6.0)
+            )
+            trace2 = trace + upd * hit
+            alltr2 = alltr + sel0 * hit  # (L, 1) x (1, steps)
+            return theta2, trace2, alltr2
+        trace2 = trace + theta2 * hit
         return theta2, trace2
 
     theta0 = theta0_ref[...][:, 0:1] * row_valid
-    _, trace = jax.lax.fori_loop(
-        0, steps, step, (theta0, jnp.zeros((8, steps), jnp.float32))
-    )
-    trace_ref[...] = trace
+    if emit == "all":
+        _, trace, alltr = jax.lax.fori_loop(
+            0, steps, step,
+            (
+                theta0,
+                jnp.zeros((8, steps), jnp.float32),
+                jnp.zeros((L, steps), jnp.float32),
+            ),
+        )
+        trace_ref[...] = trace
+        all_ref[...] = alltr
+    else:
+        _, trace = jax.lax.fori_loop(
+            0, steps, step, (theta0, jnp.zeros((8, steps), jnp.float32))
+        )
+        trace_ref[...] = trace
 
 
 def make_fused_chain(
-    target, cfg, *, chunk: int = 512, interpret=False, rng: str = "kernel"
+    target, cfg, *, chunk: int = 512, interpret=False, rng: str = "kernel",
+    emit: str = "root",
 ):
     """Build ``run(key, theta0, num_steps) -> trace (num_steps, 3)``.
 
     ``target`` must be a BayesLinReg; ``cfg`` a PMPConfig satisfying
-    ``supports(cfg)``.  The chain runs ``num_steps`` supersteps in
+    ``supports(cfg, emit)``.  The chain runs ``num_steps`` supersteps in
     ``ceil(num_steps/chunk)`` kernel launches under one jit; the returned
     trace row t is the chain state after superstep t (the root path —
     reference ``conv_*.cu`` logs exactly this).
+
+    ``emit="all"`` implements the reference's ESS-protocol emission
+    (``ess_per_s_MP.cu:265-278``): ``run`` instead returns a dict with
+
+    * ``root``  (num_steps, 3) — the chain path (slot 0's draw);
+    * ``emit_b0`` (P, num_steps) — beta0 of every slot's draw, the
+      per-slot streams the protocol's ESS sums over;
+    * ``jumps`` (num_steps,) — within-step flattened-stream squared-jump
+      sums (slots 0->1..P-2->P-1, all 3 coordinates);
+    * ``last``  (num_steps, 3) — the last slot's draw, so the host adds
+      the step/chunk boundary jumps ``||last[t] - root[t+1]||^2``.
+
+    Callers should keep ``num_steps`` per call modest (the emitted
+    streams are materialized on device); the ESS experiment loops calls
+    of ``emit_chunk`` supersteps and spools to a host memmap.
 
     ``rng="kernel"`` (production) draws uniforms from the in-kernel
     hardware PRNG; ``rng="input"`` injects jax.random uniforms from the
     host — bit-exactly testable against a NumPy oracle, incl. on CPU in
     interpret mode where the hardware PRNG is stubbed.
     """
-    if not supports(cfg):
-        raise ValueError(f"fused chain does not support {cfg}")
+    if not supports(cfg, emit):
+        raise ValueError(f"fused chain does not support {cfg} emit={emit}")
     if interpret is False and jax.default_backend() != "tpu":
         # non-TPU fallback: interpret mode stubs the hardware PRNG to
         # zeros, so switch to host-injected uniforms (slower, same math)
@@ -380,35 +504,52 @@ def make_fused_chain(
     if trans_norm == 0:
         trans_norm = float(target.d)
 
-    def one_chunk(seed, theta0, uin, steps):
+    if emit == "all":
+        # sublane-shift: prev[i] = sum_j Shift[i, j] sel[j] = sel[i-1]
+        ShiftM = jnp.asarray(np.eye(L, k=-1, dtype=np.float32))
+
+    def one_chunk(seed, theta0, uin, uemit, steps):
         kern = functools.partial(
             _chain_kernel,
             steps=steps, P=P, L=L, depth=cfg.depth, N=cfg.N,
             n_data=float(target.n), temper=float(target.temper),
             step_size=float(cfg.step_size),
             trans_sigma=float(cfg.trans_sigma),
-            trans_norm=float(trans_norm), mode=mode, rng=rng,
+            trans_norm=float(trans_norm), mode=mode, rng=rng, emit=emit,
         )
+        n_in = 7 if emit != "all" else 9
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+        ] * (n_in - 1)
+        if emit == "all":
+            out_specs = (
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+            out_shape = (
+                jax.ShapeDtypeStruct((8, steps), jnp.float32),
+                jax.ShapeDtypeStruct((L, steps), jnp.float32),
+            )
+            extra = (uemit, ShiftM)
+        else:
+            out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((8, steps), jnp.float32)
+            extra = ()
         return pl.pallas_call(
             kern,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, steps), jnp.float32),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
-        )(seed, theta0, xg, yg, cumT, Ms, uin)
+        )(seed, theta0, xg, yg, cumT, Ms, uin, *extra)
 
     @functools.partial(jax.jit, static_argnames=("num_steps",))
     def run(key, theta0, num_steps: int):
         n_chunks = -(-num_steps // chunk)
-        k_seed, k_u = jax.random.split(key)
+        if emit == "all":
+            k_seed, k_u, k_e = jax.random.split(key, 3)
+        else:
+            k_seed, k_u = jax.random.split(key)
         seeds = jax.random.randint(
             k_seed, (n_chunks, 1), 0, np.iinfo(np.int32).max, jnp.int32
         )
@@ -419,18 +560,37 @@ def make_fused_chain(
             )
         else:
             uin = jnp.zeros((n_chunks, 1, L), jnp.float32)
+        if emit == "all" and rng == "input":
+            # per-slot draw columns, one lane column per superstep
+            uem = 1.0 - jax.random.uniform(
+                k_e, (n_chunks, L, chunk), jnp.float32
+            )
+        else:
+            uem = jnp.zeros((n_chunks, 8, _LANES), jnp.float32)
         th0 = jnp.zeros((8, _LANES), jnp.float32)
         th0 = th0.at[:3, 0].set(theta0.astype(jnp.float32))
 
         def body(carry, inp):
-            seed, u = inp
-            tr = one_chunk(seed, carry, u, chunk)  # (8, chunk)
-            th = jnp.zeros((8, _LANES), jnp.float32).at[:, 0].set(
-                tr[:, -1]
+            seed, u, ue = inp
+            tr = one_chunk(seed, carry, u, ue, chunk)
+            meta = tr[0] if emit == "all" else tr  # (8, chunk)
+            th = jnp.zeros((8, _LANES), jnp.float32).at[:3, 0].set(
+                meta[:3, -1]
             )
             return th, tr
 
-        _, traces = jax.lax.scan(body, th0, (seeds, uin))
+        _, traces = jax.lax.scan(body, th0, (seeds, uin, uem))
+        if emit == "all":
+            metas, alls = traces  # (n_chunks, 8, chunk), (n_chunks, L, chunk)
+            flat = jnp.transpose(metas, (0, 2, 1)).reshape(-1, 8)
+            return {
+                "root": flat[:num_steps, :3],
+                "jumps": flat[:num_steps, 3],
+                "last": flat[:num_steps, 4:7],
+                "emit_b0": jnp.transpose(alls, (1, 0, 2)).reshape(L, -1)[
+                    :P, :num_steps
+                ],
+            }
         # (n_chunks, 8, chunk) -> (n_chunks*chunk, 3)
         out = jnp.transpose(traces, (0, 2, 1)).reshape(-1, 8)[:, :3]
         return out[:num_steps]

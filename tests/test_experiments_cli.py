@@ -318,8 +318,30 @@ def test_ess_msjd_trace_all(tmp_path):
         assert out[f"{algo}_P4_ess_per_s"] > 0
     # emit spool is deleted unless keep_emit
     assert not list(tmp_path.glob("emit_*.npy"))
-    with pytest.raises(ValueError):
-        ess_msjd.run(trace="all", method="fused_chain")
+    with pytest.raises(ValueError, match="chains"):
+        ess_msjd.run(trace="all", chains=2, method="fused_chain")
+
+
+def test_ess_msjd_trace_all_fused(tmp_path):
+    """Emit-all protocol on the production megakernel (interpret mode
+    on CPU): same summary keys as the scan cell, sane magnitudes, spool
+    cleanup.  The kernel math itself is oracle-tested in
+    test_fused_chain.py; here the wiring (chunk looping, boundary-jump
+    stitching, estimator tail) is what's under test."""
+    from pmpx.experiments import ess_msjd
+
+    out = ess_msjd.run(
+        n_data=512, Ps=(8,), num_steps=1000, burn_in=100,
+        algos=("pmp",), trace="all", emit_chunk=500,
+        method="fused_chain", out_dir=str(tmp_path),
+    )
+    assert out["pmp_P8_all_ess_per_s"] > 0
+    assert out["pmp_P8_all_msjd_per_s"] > 0
+    assert out["pmp_P8_ess_per_s"] > 0
+    # the all-stream ESS sums P per-slot streams: it must exceed the
+    # root-path ESS from the same run
+    assert out["pmp_P8_all_ess_per_s"] > out["pmp_P8_ess_per_s"]
+    assert not list(tmp_path.glob("emit_*.npy"))
 
 
 def test_emit_all_msjd_numerator_oracle(tmp_path):

@@ -26,20 +26,75 @@ from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
 LOG_2PI = math.log(2.0 * math.pi)
 
 
-def oracle(target, cfg, uin, theta0, num_steps, chunk):
+def _oracle_step(target, cfg, consts, theta, u1, u2):
+    """One superstep's (Y, logA) in float64 — shared by the root-path
+    and emit-all oracles."""
     P = (cfg.N + 1) ** cfg.depth
-    topo = tree_mod.topology(cfg.N, cfg.depth)
-    PM = topo.path_matrix[:P, :P]  # (P, P)
     xs = np.arange(P)
-
-    x64 = np.asarray(target.x, np.float64)
-    y64 = np.asarray(target.y, np.float64)
-    sx, sy = x64.sum(), y64.sum()
-    sxx, syy, sxy = (x64 * x64).sum(), (y64 * y64).sum(), (x64 * y64).sum()
+    PM, sx, sy, sxx, syy, sxy = consts
     n = target.n
     temper = target.temper
     norm = cfg.trans_normalize_by or 3.0
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * math.pi * u2)
+    eps = cfg.step_size * z  # (3, P)
+    Y = theta[:, None] + eps @ PM.T  # (3, P)
+    b0, b1, sg = Y
+    rss = (
+        syy + n * b0 * b0 + b1 * b1 * sxx
+        + 2 * b0 * b1 * sx - 2 * b0 * sy - 2 * b1 * sxy
+    )
+    s2 = np.maximum(sg * sg, 1e-30)
+    logpi = temper * (-0.5 * n * (LOG_2PI + np.log(s2)) - rss / (2 * s2))
+    if cfg.N == 1:
+        logA = np.zeros(P)
+        for i in range(cfg.depth):
+            anc = xs & (2 ** (i + 1) - 1)
+            part = anc ^ (2**i)
+            dh = logpi[anc] - logpi[part]
+            logA = logA - np.logaddexp(0.0, -dh)  # log sigmoid
+    elif cfg.depth > 1:
+        # general (N, depth) per-level normalized MTM walk
+        # (log_accept_tree semantics)
+        base = cfg.N + 1
+        logA = np.zeros(P)
+        for i in range(cfg.depth):
+            temp = base**i
+            m = temp * base
+            lp = logpi[:m].reshape(base, temp).T  # (temp, base)
+            G = Y[:, :m].reshape(3, base, temp).transpose(2, 1, 0)
+            d2 = ((G[:, :, None, :] - G[:, None, :, :]) ** 2).sum(-1)
+            lw = lp - d2.sum(-1) / (2 * cfg.trans_sigma**2 * norm)
+            mx = lw.max(axis=1, keepdims=True)
+            contrib = lw - (
+                mx + np.log(np.exp(lw - mx).sum(1, keepdims=True))
+            )
+            logA = logA + np.tile(contrib.T.reshape(m), P // m)
+    else:
+        sq = (Y * Y).sum(0)
+        S = Y.sum(1)
+        Q = sq.sum()
+        sum_d2 = P * sq - 2.0 * (Y * S[:, None]).sum(0) + Q
+        lw = logpi - sum_d2 / (2 * cfg.trans_sigma**2 * norm)
+        m = lw.max()
+        logA = lw - (m + np.log(np.exp(lw - m).sum()))
+    return Y, logA
 
+
+def _oracle_consts(target, cfg):
+    P = (cfg.N + 1) ** cfg.depth
+    topo = tree_mod.topology(cfg.N, cfg.depth)
+    PM = topo.path_matrix[:P, :P]  # (P, P)
+    x64 = np.asarray(target.x, np.float64)
+    y64 = np.asarray(target.y, np.float64)
+    return (
+        PM, x64.sum(), y64.sum(),
+        (x64 * x64).sum(), (y64 * y64).sum(), (x64 * y64).sum(),
+    )
+
+
+def oracle(target, cfg, uin, theta0, num_steps, chunk):
+    P = (cfg.N + 1) ** cfg.depth
+    consts = _oracle_consts(target, cfg)
     theta = np.asarray(theta0, np.float64)
     trace = np.zeros((num_steps, 3))
     for t in range(num_steps):
@@ -49,48 +104,7 @@ def oracle(target, cfg, uin, theta0, num_steps, chunk):
             uin[c, tt * 17 + 8: tt * 17 + 16], np.float64
         )[:3, :P]
         usel = float(uin[c, tt * 17 + 16, 0])
-        z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * math.pi * u2)
-        eps = cfg.step_size * z  # (3, P)
-        Y = theta[:, None] + eps @ PM.T  # (3, P)
-        b0, b1, sg = Y
-        rss = (
-            syy + n * b0 * b0 + b1 * b1 * sxx
-            + 2 * b0 * b1 * sx - 2 * b0 * sy - 2 * b1 * sxy
-        )
-        s2 = np.maximum(sg * sg, 1e-30)
-        logpi = temper * (-0.5 * n * (LOG_2PI + np.log(s2)) - rss / (2 * s2))
-        if cfg.N == 1:
-            logA = np.zeros(P)
-            for i in range(cfg.depth):
-                anc = xs & (2 ** (i + 1) - 1)
-                part = anc ^ (2**i)
-                dh = logpi[anc] - logpi[part]
-                logA = logA - np.logaddexp(0.0, -dh)  # log sigmoid
-        elif cfg.depth > 1:
-            # general (N, depth) per-level normalized MTM walk
-            # (log_accept_tree semantics)
-            base = cfg.N + 1
-            logA = np.zeros(P)
-            for i in range(cfg.depth):
-                temp = base**i
-                m = temp * base
-                lp = logpi[:m].reshape(base, temp).T  # (temp, base)
-                G = Y[:, :m].reshape(3, base, temp).transpose(2, 1, 0)
-                d2 = ((G[:, :, None, :] - G[:, None, :, :]) ** 2).sum(-1)
-                lw = lp - d2.sum(-1) / (2 * cfg.trans_sigma**2 * norm)
-                mx = lw.max(axis=1, keepdims=True)
-                contrib = lw - (
-                    mx + np.log(np.exp(lw - mx).sum(1, keepdims=True))
-                )
-                logA = logA + np.tile(contrib.T.reshape(m), P // m)
-        else:
-            sq = (Y * Y).sum(0)
-            S = Y.sum(1)
-            Q = sq.sum()
-            sum_d2 = P * sq - 2.0 * (Y * S[:, None]).sum(0) + Q
-            lw = logpi - sum_d2 / (2 * cfg.trans_sigma**2 * norm)
-            m = lw.max()
-            logA = lw - (m + np.log(np.exp(lw - m).sum()))
+        Y, logA = _oracle_step(target, cfg, consts, theta, u1, u2)
         w = np.exp(logA - logA.max())
         cdf = np.cumsum(w)
         u = usel * w.sum()
@@ -99,6 +113,39 @@ def oracle(target, cfg, uin, theta0, num_steps, chunk):
         theta = Y[:, idx]
         trace[t] = theta
     return trace
+
+
+def oracle_emit(target, cfg, uin, uemit, theta0, num_steps, chunk):
+    """Emit-all oracle: P searchsorted draws per superstep (slot 0 is
+    the next state), per-slot beta0 streams, within-step squared-jump
+    sums, and each step's last-slot state."""
+    P = (cfg.N + 1) ** cfg.depth
+    consts = _oracle_consts(target, cfg)
+    theta = np.asarray(theta0, np.float64)
+    root = np.zeros((num_steps, 3))
+    emit_b0 = np.zeros((P, num_steps))
+    jumps = np.zeros(num_steps)
+    last = np.zeros((num_steps, 3))
+    for t in range(num_steps):
+        c, tt = divmod(t, chunk)
+        u1 = np.asarray(uin[c, tt * 17: tt * 17 + 8], np.float64)[:3, :P]
+        u2 = np.asarray(
+            uin[c, tt * 17 + 8: tt * 17 + 16], np.float64
+        )[:3, :P]
+        ucol = np.asarray(uemit[c, :P, tt], np.float64)  # (P,)
+        Y, logA = _oracle_step(target, cfg, consts, theta, u1, u2)
+        w = np.exp(logA - logA.max())
+        cdf = np.cumsum(w)
+        ks = np.minimum(
+            np.searchsorted(cdf, ucol * w.sum(), side="left"), P - 1
+        )
+        sel = Y[:, ks]  # (3, P)
+        emit_b0[:, t] = sel[0]
+        jumps[t] = ((sel[:, 1:] - sel[:, :-1]) ** 2).sum()
+        last[t] = sel[:, -1]
+        theta = sel[:, 0]
+        root[t] = theta
+    return root, emit_b0, jumps, last
 
 
 @pytest.mark.parametrize(
@@ -147,6 +194,74 @@ def test_fused_chain_matches_numpy_oracle(cfg):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "cfg,seed",
+    [
+        (PMPConfig(N=1, depth=5, step_size=0.05, selection="all_first"),
+         5),
+        (PMPConfig(N=7, depth=1, step_size=0.05, selection="all_first"),
+         5),
+        (PMPConfig(N=1, depth=8, step_size=0.05, selection="all_first"),
+         5),
+        (PMPConfig(N=3, depth=2, step_size=0.05, selection="all_first"),
+         5),
+        # the ESS protocol's largest cell: P=512 (binary depth 9)
+        (PMPConfig(N=1, depth=9, step_size=0.05, selection="all_first"),
+         7),
+    ],
+    ids=["binary-P32", "mp-P8", "binary-P256", "gen-N3D2-P16",
+         "binary-P512"],
+)
+def test_fused_chain_emit_all_matches_numpy_oracle(cfg, seed):
+    x, y = make_synthetic_linreg(jax.random.key(0), 1000)
+    target = BayesLinReg(x, y, temper=0.05, method="fused")
+    chunk, steps = 8, 24
+    run = fc.make_fused_chain(
+        target, cfg, chunk=chunk, rng="input", emit="all",
+        interpret=pltpu.InterpretParams(),
+    )
+    # the per-config seed is tie-free: the kernel's f32 CDF vs the
+    # oracle's f64 one can pick adjacent nodes when a draw lands within
+    # an ulp of a CDF edge (~1e-4/draw at P=512) — a distribution-level
+    # non-event but a pointwise mismatch; with a fixed key the
+    # comparison is deterministic, so tie-free stays tie-free
+    key = jax.random.key(seed)
+    theta0 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    out = run(key, theta0, steps)
+
+    # regenerate the exact injected uniforms the run used
+    n_chunks = -(-steps // chunk)
+    P = (cfg.N + 1) ** cfg.depth
+    L = -(-max(P, 128) // 128) * 128
+    _, k_u, k_e = jax.random.split(key, 3)
+    uin = 1.0 - np.asarray(
+        jax.random.uniform(k_u, (n_chunks, chunk * 17, L), jnp.float32)
+    )
+    uemit = 1.0 - np.asarray(
+        jax.random.uniform(k_e, (n_chunks, L, chunk), jnp.float32)
+    )
+    root, emit_b0, jumps, last = oracle_emit(
+        target, cfg, uin, uemit, theta0, steps, chunk
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["root"]), root, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["emit_b0"]), emit_b0, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["last"]), last, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["jumps"]), jumps, rtol=5e-3, atol=1e-6
+    )
+    # slot 0's stream IS the root path (all_first)
+    np.testing.assert_allclose(
+        np.asarray(out["emit_b0"])[0], np.asarray(out["root"])[:, 0],
+        rtol=0, atol=0,
+    )
+
+
 def test_supports_predicate():
     ok = PMPConfig(N=1, depth=7, step_size=0.1)
     assert fc.supports(ok)
@@ -162,4 +277,14 @@ def test_supports_predicate():
     assert not fc.supports(PMPConfig(N=3, depth=5, step_size=0.1))
     assert not fc.supports(
         PMPConfig(N=1, depth=3, step_size=0.1, stabilizer="zscore")
+    )
+    # emit-all caps at P=512 (the ESS protocol's own largest cell)
+    assert fc.supports(
+        PMPConfig(N=1, depth=9, step_size=0.1), emit="all"
+    )
+    assert fc.supports(
+        PMPConfig(N=511, depth=1, step_size=0.1), emit="all"
+    )
+    assert not fc.supports(
+        PMPConfig(N=1, depth=10, step_size=0.1), emit="all"
     )
