@@ -292,14 +292,20 @@ def _mnist_curves_pdf(out_dir):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    by_model = {}
+    best = {}  # (model, algo) -> longest loss trace (superseded shorter
+    # runs of the same cell are prefixes of the extended one)
     for path in sorted(glob.glob(os.path.join(out_dir, "*.loss.npy"))):
         stem = os.path.basename(path)[: -len(".loss.npy")]
         algo = stem.split("_")[0]
         for m in ("FC", "CNN", "LSTM"):
             if stem.endswith(f"{m}_N_7") or f"{m}_N_" in stem:
-                by_model.setdefault(m, []).append((algo, np.load(path)))
+                loss = np.load(path)
+                if len(loss) > len(best.get((m, algo), ())):
+                    best[(m, algo)] = loss
                 break
+    by_model = {}
+    for (m, algo), loss in best.items():
+        by_model.setdefault(m, []).append((algo, loss))
     if not by_model:
         return
     models = [m for m in ("FC", "CNN", "LSTM") if m in by_model]
@@ -308,7 +314,7 @@ def _mnist_curves_pdf(out_dir):
         axes = [axes]
     colors = {"MH": "tab:blue", "MP": "tab:orange", "PMP": "tab:green"}
     for ax, m in zip(axes, models):
-        for algo, loss in sorted(by_model[m]):
+        for algo, loss in sorted(by_model[m], key=lambda t: t[0]):
             ax.plot(loss, lw=0.5, color=colors.get(algo, "gray"),
                     label=f"{algo} ({len(loss)} steps)", alpha=0.85)
         ax.set_yscale("log")
