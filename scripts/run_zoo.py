@@ -62,7 +62,12 @@ def main():
         rows.append(out)
         print(json.dumps(out), flush=True)
     with open(f"{out_root}/cifar_zoo/summary.json", "w") as f:
-        json.dump(rows, f, indent=1)
+        json.dump({"note": (
+            "smoke-scale zoo run (tens of supersteps from a warm start) "
+            "— a cheap regression cell only; do NOT read sampler "
+            "orderings from it.  Paper-scale results: "
+            "artifacts/cifar_paper/ (50,000-superstep protocol)."
+        ), "cells": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
