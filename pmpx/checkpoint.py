@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "adopt_prefix_run",
+    "write_protocol_sidecar",
     "save_checkpoint",
     "load_checkpoint",
     "resume_chain",
@@ -93,8 +94,27 @@ class TraceAccumulator:
         return float(np.median(diffs[1:]) / chunk_steps)
 
 
+def write_protocol_sidecar(out_dir: str, stem: str, protocol: dict) -> str:
+    """Record the protocol knobs the trace stem does NOT encode.
+
+    ``reference_style_name`` stems carry algo/alpha/steps/model/N only;
+    knobs like temper, class_sep, label_noise, seed, or compute_dtype
+    change the posterior or the chain without changing the stem.  The
+    sidecar (``<stem>.protocol.json``) pins them so ``adopt_prefix_run``
+    can refuse to splice two different targets into one trace.
+    """
+    import json
+
+    path = os.path.join(out_dir, stem + ".protocol.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(protocol, f, indent=1, sort_keys=True)
+    return path
+
+
 def adopt_prefix_run(
-    out_dir: str, name_of, num_steps: int, keys=()
+    out_dir: str, name_of, num_steps: int, keys=(),
+    protocol: Optional[dict] = None,
 ) -> Optional[int]:
     """Adopt the longest shorter run of the same protocol as a resume seed.
 
@@ -105,13 +125,19 @@ def adopt_prefix_run(
     next to it under the old stem.  Given ``name_of(steps) -> stem``,
     this finds the sibling ``.ckpt`` with the largest embedded step
     count < ``num_steps`` whose stem round-trips through ``name_of``
-    (so only the identical algo/alpha/model/N protocol matches) and
-    copies its checkpoint plus the given per-chunk trace arrays to the
-    new stem.  Copy, not move: the shorter run's artifacts remain valid
-    results in their own right.  Returns the adopted run's embedded
-    step count, or None if there was nothing to adopt (including when
-    the new-stem checkpoint already exists).
+    AND — when ``protocol`` is given — whose ``.protocol.json`` sidecar
+    (``write_protocol_sidecar``) matches it exactly, then copies its
+    checkpoint plus the given per-chunk trace arrays to the new stem.
+    The stem alone pins only algo/alpha/model/N; the sidecar pins the
+    rest (temper, data knobs, seed, dtype).  A candidate with NO
+    sidecar (a pre-sidecar run) is adopted with a loud warning rather
+    than skipped — refusing would silently re-run hours of chip time —
+    but any sidecar that disagrees is a hard skip.  Copy, not move: the
+    shorter run's artifacts remain valid results in their own right.
+    Returns the adopted run's embedded step count, or None if there was
+    nothing to adopt (including when the new-stem checkpoint exists).
     """
+    import json
     import re
     import shutil
 
@@ -119,7 +145,7 @@ def adopt_prefix_run(
     new_ckpt = os.path.join(out_dir, new_name + ".ckpt")
     if os.path.exists(new_ckpt) or not os.path.isdir(out_dir):
         return None
-    best = None
+    best, best_had_sidecar = None, True
     for fn in os.listdir(out_dir):
         if not fn.endswith(".ckpt"):
             continue
@@ -127,16 +153,35 @@ def adopt_prefix_run(
         if not m:
             continue
         steps = int(m.group(1))
-        if steps < num_steps and fn[:-5] == name_of(steps):
-            if best is None or steps > best:
-                best = steps
+        if not (steps < num_steps and fn[:-5] == name_of(steps)):
+            continue
+        had_sidecar = True
+        if protocol is not None:
+            side = os.path.join(out_dir, fn[:-5] + ".protocol.json")
+            if os.path.exists(side):
+                with open(side) as f:
+                    if json.load(f) != protocol:
+                        continue  # a DIFFERENT posterior/chain: never splice
+            else:
+                had_sidecar = False
+        if best is None or steps > best:
+            best, best_had_sidecar = steps, had_sidecar
     if best is None:
         return None
     old_name = name_of(best)
+    if protocol is not None and not best_had_sidecar:
+        print(
+            f"WARNING: adopting pre-sidecar prefix run {old_name!r}; its "
+            "temper/data/seed/dtype knobs are unverifiable — confirm they "
+            "match before trusting the spliced trace",
+            flush=True,
+        )
     for suffix in [".ckpt"] + [f".{k}.npy" for k in keys]:
         src = os.path.join(out_dir, old_name + suffix)
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(out_dir, new_name + suffix))
+    if protocol is not None:
+        write_protocol_sidecar(out_dir, new_name, protocol)
     return best
 
 

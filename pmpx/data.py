@@ -163,13 +163,27 @@ def dataset_presence() -> dict:
     paths the loaders read, so it can't drift from them.
     """
     d = _data_dir()
+    cifar_root = os.path.join(d, "cifar-10-batches-py")
     return {
         "data_dir": d,
         "mnist_npz": os.path.exists(os.path.join(d, "mnist.npz")),
-        "mnist_idx": _find_idx("train-images-idx3-ubyte") is not None,
+        # mirror the loaders' own completeness rules exactly: a partial
+        # download must read false here, or doctor would promise a real
+        # dataset the run then silently replaces with the synthetic one
+        "mnist_idx": all(
+            _find_idx(n) is not None
+            for n in (
+                "train-images-idx3-ubyte",
+                "train-labels-idx1-ubyte",
+                "t10k-images-idx3-ubyte",
+                "t10k-labels-idx1-ubyte",
+            )
+        ),
         "cifar10_npz": os.path.exists(os.path.join(d, "cifar10.npz")),
-        "cifar10_batches": os.path.exists(
-            os.path.join(d, "cifar-10-batches-py", "data_batch_1")
+        "cifar10_batches": all(
+            os.path.exists(os.path.join(cifar_root, n))
+            for n in [f"data_batch_{i}" for i in range(1, 6)]
+            + ["test_batch"]
         ),
     }
 

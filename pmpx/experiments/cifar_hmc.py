@@ -72,7 +72,13 @@ def run(
         if num_steps is None:
             num_steps = 50000
         if chunk_steps is None:
-            chunk_steps = 500
+            # sized per algo so one device call stays ~30 s at the
+            # measured full-batch ms/superstep (sp ~59, pmp ~216,
+            # mp ~383 bf16; CLAUDE.md: calls past ~60 s crash the
+            # remote TPU worker and wedge the grant for 25-55 min)
+            chunk_steps = {"sp_hmc": 500, "pmp_hmc": 125, "mp_hmc": 75}[
+                algo
+            ]
     else:
         n_train = 2048 if n_train is None else n_train
         n_test = 512 if n_test is None else n_test

@@ -78,22 +78,25 @@ def _emit_all_cell(
     roots = np.empty((num_steps, 3), np.float32)
     theta = theta0
     key = jax.random.key(seed)
-    cur_n = min(emit_chunk, num_steps)
-    runner = make_runner(cur_n)
     # compile outside the timed window, like the root protocol's
-    # untimed warm-up call (the result is discarded; the timed loop
-    # restarts from theta0 with the same keys)
-    jax.block_until_ready(runner(
-        jax.random.fold_in(key, 0), theta, jnp.int32(0)
-    ))
+    # untimed warm-up call (the results are discarded; the timed loop
+    # restarts from theta0 with the same keys).  Every chunk shape the
+    # loop will see is warmed here — including the tail when
+    # num_steps % emit_chunk != 0 — so no compile lands inside dt.
+    runners = {}
+    shapes = {min(emit_chunk, num_steps)}
+    if num_steps % emit_chunk:
+        shapes.add(num_steps % emit_chunk)
+    for n in sorted(shapes):
+        runners[n] = make_runner(n)
+        jax.block_until_ready(runners[n](
+            jax.random.fold_in(key, 0), theta, jnp.int32(0)
+        ))
     sq_sum, last = 0.0, None
     t0 = time.perf_counter()
     for s in range(0, num_steps, emit_chunk):
         n = min(emit_chunk, num_steps - s)
-        if n != cur_n:
-            runner = make_runner(n)
-            cur_n = n
-        theta, cols_c, roots_c, sq, first, lastc = runner(
+        theta, cols_c, roots_c, sq, first, lastc = runners[n](
             jax.random.fold_in(key, s), theta, jnp.int32(s)
         )
         cols[:, s:s + n] = np.asarray(cols_c).T
@@ -155,8 +158,9 @@ def _emit_all_cell_fused(
     cfg = fc.spec_to_cfg(spec)
     P = (cfg.N + 1) ** cfg.depth
     kchunk = 500
-    # keep every device call one compile: emit_chunk a multiple of the
-    # kernel chunk, and the tail call shaped like the others
+    # emit_chunk a multiple of the kernel chunk so the inner pallas_call
+    # stays one compiled program; the outer jit is still retraced per
+    # distinct num_steps, so the warm-up below covers the tail shape too
     emit_chunk = max(kchunk, (emit_chunk // kchunk) * kchunk)
     runk = fc.make_fused_chain(target, cfg, chunk=kchunk, emit="all")
 
@@ -170,10 +174,14 @@ def _emit_all_cell_fused(
     lasts = np.empty((num_steps, 3), np.float32)
     key = jax.random.key(seed)
     theta = theta0
-    n0 = min(emit_chunk, num_steps)
-    # compile outside the timed window (result discarded, like the scan
-    # cell's warm-up)
-    jax.block_until_ready(runk(jax.random.fold_in(key, 0), theta, n0))
+    # compile outside the timed window (results discarded, like the
+    # scan cell's warm-up) — both the full-chunk shape and the tail
+    # shape, since the outer jit retraces per distinct num_steps
+    shapes = {min(emit_chunk, num_steps)}
+    if num_steps % emit_chunk:
+        shapes.add(num_steps % emit_chunk)
+    for n0 in sorted(shapes):
+        jax.block_until_ready(runk(jax.random.fold_in(key, 0), theta, n0))
     t0 = time.perf_counter()
     for s in range(0, num_steps, emit_chunk):
         n = min(emit_chunk, num_steps - s)

@@ -127,8 +127,11 @@ def run(
                 "FC": 500000, "CNN": 250000, "LSTM": 1000000,
             }[model]
         if chunk_steps is None:
+            # one device call ~30 s at the measured full-batch
+            # ms/superstep (FC ~4.5, CNN ~80 bf16, LSTM ~156;
+            # CLAUDE.md: calls past ~60 s crash the remote TPU worker)
             chunk_steps = {
-                "FC": 10000, "CNN": 2000, "LSTM": 5000,
+                "FC": 5000, "CNN": 250, "LSTM": 200,
             }[model]
     else:
         n_train = 4096 if n_train is None else n_train
@@ -170,9 +173,22 @@ def run(
 
         from pmpx.checkpoint import (
             TraceAccumulator, adopt_prefix_run, resume_chain,
-            save_checkpoint,
+            save_checkpoint, write_protocol_sidecar,
         )
 
+        # everything that changes the posterior or the chain WITHOUT
+        # changing the stem (adopt_prefix_run must never splice these)
+        protocol = {
+            "temper": float(temper),
+            "n_train": int(n_train), "n_test": int(n_test),
+            "class_sep": float(class_sep),
+            "label_noise": float(label_noise),
+            "seed": int(seed),
+            "compute_dtype": compute_dtype,
+            "layout": layout,
+            "warm_start": warm_start or None,
+            "pretrain_steps": None if warm_start else int(pretrain_steps),
+        }
         ckpt = os.path.join(out_dir, f"{name}.ckpt")
         if resume and not os.path.exists(ckpt):
             # extending a prefix run (same protocol, larger num_steps):
@@ -185,6 +201,7 @@ def run(
                 ),
                 num_steps,
                 keys=("loss",),
+                protocol=protocol,
             )
             if adopted is not None:
                 print(f"adopted {adopted}-step prefix run as resume seed")
@@ -194,6 +211,7 @@ def run(
         acc = TraceAccumulator(out_dir, name, ("loss",), fresh=fresh)
         if fresh:
             save_checkpoint(ckpt, theta0, jax.random.key(seed + 1), 0)
+            write_protocol_sidecar(out_dir, name, protocol)
 
         thetaF, _ = resume_chain(
             superstep, ckpt, num_steps, collect=loss_of,

@@ -176,11 +176,16 @@ def run_stage(stage: dict) -> bool:
         if rc == 0:
             with open(marker, "w") as f:
                 json.dump({"wall_s": wall, "attempts": attempt}, f)
+            stale = os.path.join(STATE_DIR, f"{name}.failed")
+            if os.path.exists(stale):
+                os.remove(stale)
             return True
         if attempt < MAX_ATTEMPTS:
             time.sleep(COOLDOWN_S)
             wait_for_chip()
     log(f"FAILED {name} after {MAX_ATTEMPTS} attempts")
+    with open(os.path.join(STATE_DIR, f"{name}.failed"), "w") as f:
+        json.dump({"argv": stage["argv"], "at": time.time()}, f)
     return False
 
 
@@ -191,6 +196,7 @@ def main():
     )
     os.makedirs(STATE_DIR, exist_ok=True)
     done: set = set()
+    failed: dict = {}  # name -> the argv that exhausted its attempts
     stages = load_stages(queue_path)
     while True:
         try:
@@ -200,12 +206,25 @@ def main():
             # malformed JSON must not kill hours of pending TPU stages —
             # keep the last-good stage list and retry the read later
             log(f"queue reload failed ({e}); keeping last-good list")
-        pending = [s for s in stages if s["name"] not in done]
+        # a failed stage is skipped only while its argv is unchanged —
+        # fixing the argv in the live-edited JSON re-queues it (the
+        # whole point of live editing); a .failed marker records why
+        pending = [
+            s for s in stages
+            if s["name"] not in done
+            and failed.get(s["name"]) != s["argv"]
+        ]
         if not pending:
             break
         stage = pending[0]
-        run_stage(stage)  # failures are logged; don't block the queue
-        done.add(stage["name"])
+        if run_stage(stage):  # failures are logged; don't block the queue
+            done.add(stage["name"])
+            failed.pop(stage["name"], None)
+        else:
+            failed[stage["name"]] = stage["argv"]
+    if failed:
+        log(f"queue drained with FAILED stages: {sorted(failed)}")
+        sys.exit(1)
     log("queue drained")
 
 

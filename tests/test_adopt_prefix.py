@@ -106,3 +106,46 @@ def test_extension_bitwise_equals_uninterrupted(tmp_path):
     short = _name_of(60, model="TOY", N=1)
     assert os.path.exists(os.path.join(a, short + ".ckpt"))
     assert os.path.exists(os.path.join(a, short + ".loss.npy"))
+
+
+def test_adopt_protocol_sidecar_rules(tmp_path, capsys):
+    """The stem pins algo/alpha/model/N; the .protocol.json sidecar pins
+    the rest (temper, data knobs, seed, dtype).  A disagreeing sidecar
+    is a hard skip; a missing one (pre-sidecar run) adopts with a loud
+    warning instead of silently re-running hours of chip time."""
+    from pmpx.checkpoint import write_protocol_sidecar
+
+    proto = {"temper": 10.0, "class_sep": 0.35, "seed": 0}
+
+    # disagreeing sidecar: longest prefix is rejected, shorter match wins
+    d = str(tmp_path / "a")
+    os.makedirs(d)
+    _touch(d, _name_of(5000))
+    write_protocol_sidecar(d, _name_of(5000), proto)
+    _touch(d, _name_of(15000))
+    write_protocol_sidecar(d, _name_of(15000), {**proto, "temper": 100.0})
+    got = adopt_prefix_run(d, _name_of, 100000, keys=("loss",),
+                           protocol=proto)
+    assert got == 5000
+    # the adopted new stem gets its own sidecar
+    import json
+    side = os.path.join(d, _name_of(100000) + ".protocol.json")
+    assert json.load(open(side)) == proto
+
+    # no sidecar at all: adopt (backward compat) but warn loudly
+    d2 = str(tmp_path / "b")
+    os.makedirs(d2)
+    _touch(d2, _name_of(7000))
+    capsys.readouterr()
+    got = adopt_prefix_run(d2, _name_of, 100000, keys=("loss",),
+                           protocol=proto)
+    assert got == 7000
+    assert "WARNING" in capsys.readouterr().out
+
+    # all candidates disagree: nothing to adopt
+    d3 = str(tmp_path / "c")
+    os.makedirs(d3)
+    _touch(d3, _name_of(9000))
+    write_protocol_sidecar(d3, _name_of(9000), {**proto, "seed": 1})
+    assert adopt_prefix_run(d3, _name_of, 100000, keys=("loss",),
+                            protocol=proto) is None

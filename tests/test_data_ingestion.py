@@ -156,3 +156,30 @@ def test_synthetic_fallback_without_npz(data_dir):
     x2, y2, *_ = load_mnist(n_train=16, n_test=4, seed=3)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     assert x1.shape == (16, 28, 28)
+
+
+def test_dataset_presence_mirrors_loader_completeness(data_dir):
+    """`cli doctor` must not promise a dataset the loader would reject:
+    presence uses the loaders' own all-files rules, so a partial
+    torchvision download reads false."""
+    from pmpx.data import dataset_presence
+
+    assert dataset_presence()["mnist_idx"] is False
+    # images alone (the old single-file probe) must NOT flip it
+    base = data_dir / "MNIST" / "raw"
+    base.mkdir(parents=True)
+    (base / "train-images-idx3-ubyte").write_bytes(
+        _idx_bytes(np.zeros((1, 28, 28), np.uint8))
+    )
+    assert dataset_presence()["mnist_idx"] is False
+    _write_mnist_idx(data_dir, raw_subdir=True)
+    assert dataset_presence()["mnist_idx"] is True
+
+    # CIFAR: data_batch_1 alone is not a dataset
+    root = data_dir / "cifar-10-batches-py"
+    root.mkdir()
+    (root / "data_batch_1").write_bytes(b"x")
+    assert dataset_presence()["cifar10_batches"] is False
+    for n in [f"data_batch_{i}" for i in range(2, 6)] + ["test_batch"]:
+        (root / n).write_bytes(b"x")
+    assert dataset_presence()["cifar10_batches"] is True

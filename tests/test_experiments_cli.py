@@ -330,8 +330,11 @@ def test_ess_msjd_trace_all_fused(tmp_path):
     stitching, estimator tail) is what's under test."""
     from pmpx.experiments import ess_msjd
 
+    # num_steps deliberately NOT a multiple of emit_chunk: the tail
+    # chunk (200 steps here) must be handled — and pre-compiled outside
+    # the timed window, which the warm-up loop covers by construction
     out = ess_msjd.run(
-        n_data=512, Ps=(8,), num_steps=1000, burn_in=100,
+        n_data=512, Ps=(8,), num_steps=700, burn_in=100,
         algos=("pmp",), trace="all", emit_chunk=500,
         method="fused_chain", out_dir=str(tmp_path),
     )

@@ -182,3 +182,43 @@ def test_recovery_driver_state(recovery):
         proc.terminate()
         proc.wait()
     assert recovery.driver_state(proc.pid) == "gone"
+
+
+def test_failed_stage_requeued_only_on_argv_edit(run_paper, monkeypatch,
+                                                 tmp_path):
+    """A stage that exhausts its attempts is skipped while its argv is
+    unchanged, re-queued when the live-edited JSON fixes the argv, and
+    the driver exits nonzero if anything is still failed at drain."""
+    import json
+
+    qp = tmp_path / "q.json"
+    stage = {"name": "s1", "argv": ["exp", "--broken", "1"]}
+    qp.write_text(json.dumps({"stages": [stage]}))
+    monkeypatch.setattr(run_paper, "STATE_DIR", str(tmp_path))
+    monkeypatch.setattr(run_paper.sys, "argv", ["run_paper.py", str(qp)])
+
+    calls = []
+
+    def fake_run_stage(s):
+        calls.append(list(s["argv"]))
+        if "--broken" in s["argv"]:
+            # what the real run_stage does after MAX_ATTEMPTS
+            with open(os.path.join(str(tmp_path), f"{s['name']}.failed"),
+                      "w") as f:
+                json.dump({"argv": s["argv"]}, f)
+            return False
+        return True
+
+    monkeypatch.setattr(run_paper, "run_stage", fake_run_stage)
+    with pytest.raises(SystemExit) as e:
+        run_paper.main()
+    assert e.value.code == 1
+    assert calls == [["exp", "--broken", "1"]]  # failed once, then skipped
+    assert os.path.exists(tmp_path / "s1.failed")
+
+    # operator fixes the argv in the live JSON: the stage runs again
+    calls.clear()
+    fixed = {"name": "s1", "argv": ["exp", "--fixed", "1"]}
+    qp.write_text(json.dumps({"stages": [fixed]}))
+    run_paper.main()  # drains cleanly now
+    assert calls == [["exp", "--fixed", "1"]]
