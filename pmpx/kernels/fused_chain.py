@@ -44,16 +44,23 @@ from jax.random, so agreement with the XLA path is statistical
 ``emit="all"`` additionally implements the reference's ESS-protocol
 emission (``ess_per_s_MP.cu:265-278``: every proposal slot's resampled
 draw is dumped each iteration, the first draw becoming the next state —
-``selection="all_first"``).  The P per-slot categorical draws live on
-SUBLANES (a column of uniforms from the in-kernel PRNG), so the
-counting-select generalizes to all slots at once as one outer
-comparison against the row CDF — ``k[i] = #{lanes j: cdf[j] < u[i]}``
-— with no gathers and no transposes; the per-slot selected states
-follow by a broadcast one-hot mask, and the within-step MSJD jump sum
-is three (L, L) @ (L, 1) matmuls against a constant sublane-shift
-matrix.  Root state, within-step jump sum, and the last slot's state
-ride the (8, steps) meta trace (rows 0-2 / 3 / 4-6), so the host can
-stitch cross-step and cross-chunk boundary jumps exactly.
+``selection="all_first"``).  Slots live on LANES: slot j's uniform is
+lane j of one (1, L) PRNG row, the CDF is columnized once per step
+(an iota-identity mask + lane reduction — no transpose op), and the
+counting-select for all P slots is one (L, L) outer comparison
+``k[j] = #{l: cdf[l] < u[j]}``.  The payoff of the lane orientation is
+that ALL THREE selected coordinates then come from a single MXU matmul
+``SELR = Y @ O2`` with the one-hot-columns matrix ``O2[l, j] = [l = k_j]``
+— the same (8, L) @ (L, L) shape class as the inverse-CDF matmul — and
+the previous-slot states for the within-step MSJD jump sum from one
+more, ``SELR @ superdiag``.  Slot 0's column IS the next chain state
+(``all_first``), so no separate root draw is needed.  The per-slot b0
+stream is written by a per-step dynamic single-row store into a
+(steps, L) output (the write analog of the proven ``pl.ds`` uniform
+reads) — O(L) per step, not an O(L*steps) trace accumulate.  Root
+state, within-step jump sum, and the last slot's state ride the
+(8, steps) meta trace (rows 0-2 / 3 / 4-6), so the host can stitch
+cross-step and cross-chunk boundary jumps exactly.
 
 Reference counterparts: the per-iteration host loops of
 ``conv_mp.cu:180-264`` / ``500_MP.cu`` / ``500_PMP.cu`` — the cells where
@@ -193,7 +200,15 @@ def _chain_kernel(
     row_valid = (row < 3).astype(jnp.float32)  # params live in rows 0..2
     lane0 = (lane == 0).astype(jnp.float32)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, steps), 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)  # slots: sublanes
+    slot = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)  # sublane index
+    if emit == "all":
+        # loop-invariant helpers for the per-slot emission: the identity
+        # mask that columnizes the CDF (no transpose op exists for a
+        # (1, L) row), and the flattened-stream jump mask
+        ident = (lane == slot).astype(jnp.float32)  # (L, L)
+        jmask_row = jnp.logical_and(lane >= 1, lane < P).astype(
+            jnp.float32
+        )  # (1, L)
 
     # data sufficient statistics: the sums below are loop-invariant, so
     # Mosaic hoists them — one streaming pass over the (rows, 128) grids
@@ -204,20 +219,16 @@ def _chain_kernel(
     yg = yg_ref[...]
 
     def step(t, carry):
-        if emit == "all":
-            theta, trace, alltr = carry  # (8, 1), (8, steps), (L, steps)
-        else:
-            theta, trace = carry  # (8, 1), (8, steps)
+        theta, trace = carry  # (8, 1), (8, steps)
         if rng == "kernel":
             u1 = _uniform((8, L))
             u2 = _uniform((8, L))
             usel = _uniform((1, L))
             if emit == "all":
-                # per-slot draw column: full-lane PRNG shape (sub-tile
-                # lane extents are untested Mosaic territory), lane 0
-                ucol = jax.lax.slice_in_dim(
-                    _uniform((L, _LANES)), 0, 1, axis=1
-                )  # (L, 1)
+                # per-slot thresholds: one PRNG row, slot j on lane j
+                u_row = jax.lax.slice_in_dim(
+                    _uniform((8, L)), 0, 1, axis=0
+                )  # (1, L)
         else:
             # injected uniforms: 17 rows per step (8 + 8 + 1) — the
             # testable path (interpret mode stubs the hardware PRNG)
@@ -225,7 +236,7 @@ def _chain_kernel(
             u2 = uin_ref[pl.ds(t * 17 + 8, 8), :]
             usel = uin_ref[pl.ds(t * 17 + 16, 1), :]
             if emit == "all":
-                ucol = uemit_ref[:, pl.ds(t, 1)]  # (L, 1)
+                u_row = uemit_ref[pl.ds(t, 1), :]  # (1, L)
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
         eps = step_size * z * valid * row_valid  # (8, L)
 
@@ -333,95 +344,69 @@ def _chain_kernel(
         zmax = jnp.max(jnp.where(lane < P, logA, -1e30))
         w = jnp.exp(logA - zmax) * valid  # (1, L)
         cdf = _dot(w, cumT_ref[...])  # inclusive prefix sums (MXU)
+        hit = (t_iota == t).astype(jnp.float32)  # (1, steps)
         if emit == "all":
             # P iid categorical draws (selection="all_first": slot 0's
-            # draw becomes the next state).  Slots live on sublanes so
-            # the counting-select runs for all of them at once as one
-            # (L, L) outer comparison — searchsorted side="left" exactly,
-            # like the root path's count.  Padded lanes j >= P have
-            # cdf[j] = wsum >= u, so they never inflate a count.
+            # draw becomes the next state).  Slots live on LANES: the
+            # counting-select runs for all of them at once as one
+            # (L, L) outer comparison of the columnized CDF against the
+            # threshold row — searchsorted side="left" exactly, like the
+            # root path's count.  Padded lanes l >= P have
+            # cdf[l] = wsum >= u, so they never inflate a count.
             wsum = jnp.sum(w)
-            u_col = ucol * wsum  # (L, 1) thresholds, one per slot
+            cdf_col = jnp.sum(ident * cdf, axis=1, keepdims=True)  # (L,1)
             cnt = jnp.sum(
-                (cdf < u_col).astype(jnp.float32), axis=1, keepdims=True
+                (cdf_col < u_row * wsum).astype(jnp.float32),
+                axis=0, keepdims=True,
             )
-            k_col = jnp.minimum(cnt, float(P - 1))  # (L, 1)
-            # per-slot selected states: broadcast one-hot rows, three
-            # masked lane reductions (no gathers)
-            O = (lane.astype(jnp.float32) == k_col).astype(jnp.float32)
-            sel0 = jnp.sum(O * Y[0:1, :], axis=1, keepdims=True)  # (L,1)
-            sel1 = jnp.sum(O * Y[1:2, :], axis=1, keepdims=True)
-            sel2 = jnp.sum(O * Y[2:3, :], axis=1, keepdims=True)
-            # the next state is slot 0's draw — reuse the proven
-            # row-one-hot state update with k = k_col[0]
-            k = jnp.sum(k_col * (slot == 0).astype(jnp.float32))
-            # within-step flattened-stream jumps (slot i-1 -> i): the
-            # previous slot's state via the constant sublane-shift matmul
-            SM = shift_ref[...]
-            p0 = _dot(SM, sel0)
-            p1 = _dot(SM, sel1)
-            p2 = _dot(SM, sel2)
-            jmask = jnp.logical_and(slot >= 1, slot < P).astype(
-                jnp.float32
+            k_row = jnp.minimum(cnt, float(P - 1))  # (1, L)
+            # per-slot selected states: ONE MXU matmul against the
+            # one-hot-columns matrix — all three coordinates at once
+            O2 = (slot.astype(jnp.float32) == k_row).astype(jnp.float32)
+            SELR = _dot(Y, O2)  # (8, L): column j = slot j's draw
+            # slot 0's draw IS the next state (all_first)
+            theta2 = jax.lax.slice_in_dim(SELR, 0, 1, axis=1)  # (8, 1)
+            # within-step flattened-stream jumps (slot j-1 -> j): the
+            # previous slot's states via one superdiagonal matmul
+            PREV = _dot(SELR, shift_ref[...])  # (8, L)
+            D = SELR - PREV
+            J = jnp.sum(jmask_row * D * D)
+            # last slot's state, rows 0-2 rolled to meta rows 4-6
+            lastc = pltpu.roll(
+                jax.lax.slice_in_dim(SELR, P - 1, P, axis=1),
+                shift=4, axis=0,
+            )  # (8, 1)
+            # meta trace rows: 0-2 root state, 3 within-step jump sum,
+            # 4-6 last slot's state (for host-side boundary jumps)
+            rowf = row.astype(jnp.float32)
+            upd = theta2 + J * (rowf == 3.0) + lastc
+            trace2 = trace + upd * hit
+            # per-slot b0 stream: O(L) dynamic single-row store (the
+            # write analog of the pl.ds uniform reads above)
+            all_ref[pl.ds(t, 1), :] = jax.lax.slice_in_dim(
+                SELR, 0, 1, axis=0
             )
-            J = jnp.sum(
-                jmask * (
-                    (sel0 - p0) ** 2 + (sel1 - p1) ** 2 + (sel2 - p2) ** 2
-                )
-            )
-            lastm = (slot == P - 1).astype(jnp.float32)
-            last0 = jnp.sum(sel0 * lastm)
-            last1 = jnp.sum(sel1 * lastm)
-            last2 = jnp.sum(sel2 * lastm)
-        else:
-            u = jnp.sum(usel * lane0) * jnp.sum(w)
+            return theta2, trace2
+        u = jnp.sum(usel * lane0) * jnp.sum(w)
         # select the first lane with cdf >= u by *counting* lanes below u
         # (np.searchsorted side="left" + clamp, exactly).  An interval
         # test like (cdf - w < u) & (cdf >= u) recomputes each lane's
         # lower edge in f32 and can select zero or two lanes whenever the
         # recomputed edge differs from the neighbor's cdf by an ulp; the
         # count is immune to that and to u landing past cdf[-1].
-        if emit != "all":
-            k = jnp.minimum(
-                jnp.sum((cdf < u).astype(jnp.float32)), float(P - 1)
-            )
+        k = jnp.minimum(
+            jnp.sum((cdf < u).astype(jnp.float32)), float(P - 1)
+        )
         onehot = (lane.astype(jnp.float32) == k).astype(jnp.float32)
         theta2 = jnp.sum(Y * onehot * valid, axis=1, keepdims=True)
-        hit = (t_iota == t).astype(jnp.float32)  # (1, steps)
-        if emit == "all":
-            # meta trace rows: 0-2 root state, 3 within-step jump sum,
-            # 4-6 last slot's state (for host-side boundary jumps)
-            rowf = row.astype(jnp.float32)
-            upd = (
-                theta2
-                + J * (rowf == 3.0)
-                + last0 * (rowf == 4.0)
-                + last1 * (rowf == 5.0)
-                + last2 * (rowf == 6.0)
-            )
-            trace2 = trace + upd * hit
-            alltr2 = alltr + sel0 * hit  # (L, 1) x (1, steps)
-            return theta2, trace2, alltr2
         trace2 = trace + theta2 * hit
         return theta2, trace2
 
     theta0 = theta0_ref[...][:, 0:1] * row_valid
-    if emit == "all":
-        _, trace, alltr = jax.lax.fori_loop(
-            0, steps, step,
-            (
-                theta0,
-                jnp.zeros((8, steps), jnp.float32),
-                jnp.zeros((L, steps), jnp.float32),
-            ),
-        )
-        trace_ref[...] = trace
-        all_ref[...] = alltr
-    else:
-        _, trace = jax.lax.fori_loop(
-            0, steps, step, (theta0, jnp.zeros((8, steps), jnp.float32))
-        )
-        trace_ref[...] = trace
+    _, trace = jax.lax.fori_loop(
+        0, steps, step, (theta0, jnp.zeros((8, steps), jnp.float32))
+    )
+    trace_ref[...] = trace
 
 
 def make_fused_chain(
