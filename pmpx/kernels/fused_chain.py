@@ -102,7 +102,7 @@ def supports(cfg, emit: str = "root") -> bool:
 
     ``emit="all"`` (the reference ESS protocol's per-slot emission) caps
     P at 512: the per-step (L, L) compare/one-hot intermediates and the
-    (L, chunk) emitted trace must fit VMEM next to the existing
+    (chunk, L) emitted trace must fit VMEM next to the existing
     constants.  512 is the protocol's own largest P (``data_trans.py``).
     """
     base = cfg.N + 1
@@ -490,8 +490,11 @@ def make_fused_chain(
         trans_norm = float(target.d)
 
     if emit == "all":
-        # sublane-shift: prev[i] = sum_j Shift[i, j] sel[j] = sel[i-1]
-        ShiftM = jnp.asarray(np.eye(L, k=-1, dtype=np.float32))
+        # superdiagonal: PREV = SELR @ Shift is a right-multiply, so
+        # PREV[:, j] = sum_l SELR[:, l] Shift[l, j] = SELR[:, j-1] needs
+        # Shift[l, j] = [j == l+1] (k=+1); column 0 comes out zero and is
+        # masked by jmask_row
+        ShiftM = jnp.asarray(np.eye(L, k=1, dtype=np.float32))
 
     def one_chunk(seed, theta0, uin, uemit, steps):
         kern = functools.partial(
@@ -513,7 +516,7 @@ def make_fused_chain(
             )
             out_shape = (
                 jax.ShapeDtypeStruct((8, steps), jnp.float32),
-                jax.ShapeDtypeStruct((L, steps), jnp.float32),
+                jax.ShapeDtypeStruct((steps, L), jnp.float32),
             )
             extra = (uemit, ShiftM)
         else:
@@ -546,9 +549,11 @@ def make_fused_chain(
         else:
             uin = jnp.zeros((n_chunks, 1, L), jnp.float32)
         if emit == "all" and rng == "input":
-            # per-slot draw columns, one lane column per superstep
+            # per-slot draws, lane-oriented: row t holds superstep t's L
+            # thresholds (slot j on lane j), matching the kernel's
+            # uemit_ref[pl.ds(t, 1), :] row read
             uem = 1.0 - jax.random.uniform(
-                k_e, (n_chunks, L, chunk), jnp.float32
+                k_e, (n_chunks, chunk, L), jnp.float32
             )
         else:
             uem = jnp.zeros((n_chunks, 8, _LANES), jnp.float32)
@@ -566,15 +571,13 @@ def make_fused_chain(
 
         _, traces = jax.lax.scan(body, th0, (seeds, uin, uem))
         if emit == "all":
-            metas, alls = traces  # (n_chunks, 8, chunk), (n_chunks, L, chunk)
+            metas, alls = traces  # (n_chunks, 8, chunk), (n_chunks, chunk, L)
             flat = jnp.transpose(metas, (0, 2, 1)).reshape(-1, 8)
             return {
                 "root": flat[:num_steps, :3],
                 "jumps": flat[:num_steps, 3],
                 "last": flat[:num_steps, 4:7],
-                "emit_b0": jnp.transpose(alls, (1, 0, 2)).reshape(L, -1)[
-                    :P, :num_steps
-                ],
+                "emit_b0": alls.reshape(-1, L)[:num_steps, :P].T,
             }
         # (n_chunks, 8, chunk) -> (n_chunks*chunk, 3)
         out = jnp.transpose(traces, (0, 2, 1)).reshape(-1, 8)[:, :3]

@@ -132,7 +132,7 @@ def oracle_emit(target, cfg, uin, uemit, theta0, num_steps, chunk):
         u2 = np.asarray(
             uin[c, tt * 17 + 8: tt * 17 + 16], np.float64
         )[:3, :P]
-        ucol = np.asarray(uemit[c, :P, tt], np.float64)  # (P,)
+        ucol = np.asarray(uemit[c, tt, :P], np.float64)  # (P,)
         Y, logA = _oracle_step(target, cfg, consts, theta, u1, u2)
         w = np.exp(logA - logA.max())
         cdf = np.cumsum(w)
@@ -198,16 +198,16 @@ def test_fused_chain_matches_numpy_oracle(cfg):
     "cfg,seed",
     [
         (PMPConfig(N=1, depth=5, step_size=0.05, selection="all_first"),
-         5),
+         3),
         (PMPConfig(N=7, depth=1, step_size=0.05, selection="all_first"),
          5),
         (PMPConfig(N=1, depth=8, step_size=0.05, selection="all_first"),
-         5),
+         9),
         (PMPConfig(N=3, depth=2, step_size=0.05, selection="all_first"),
          5),
         # the ESS protocol's largest cell: P=512 (binary depth 9)
         (PMPConfig(N=1, depth=9, step_size=0.05, selection="all_first"),
-         7),
+         8),
     ],
     ids=["binary-P32", "mp-P8", "binary-P256", "gen-N3D2-P16",
          "binary-P512"],
@@ -238,7 +238,7 @@ def test_fused_chain_emit_all_matches_numpy_oracle(cfg, seed):
         jax.random.uniform(k_u, (n_chunks, chunk * 17, L), jnp.float32)
     )
     uemit = 1.0 - np.asarray(
-        jax.random.uniform(k_e, (n_chunks, L, chunk), jnp.float32)
+        jax.random.uniform(k_e, (n_chunks, chunk, L), jnp.float32)
     )
     root, emit_b0, jumps, last = oracle_emit(
         target, cfg, uin, uemit, theta0, steps, chunk
