@@ -366,9 +366,20 @@ def run(
         import json as _json
         import os as _os
 
+        # merge into any existing summary so the P grid can be filled
+        # by separate (resumable) queue stages without clobbering the
+        # cells earlier stages recorded
         sp = _os.path.join(out_dir, "summary.json")
+        merged = {}
+        if _os.path.exists(sp):
+            try:
+                with open(sp) as f:
+                    merged = _json.load(f)
+            except Exception:
+                merged = {}
+        merged.update(out)
         with open(sp, "w") as f:
-            _json.dump(out, f, indent=2)
+            _json.dump(merged, f, indent=2)
         render_ess_msjd(sp, out_dir)
     except Exception:
         pass

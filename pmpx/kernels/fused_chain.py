@@ -185,7 +185,7 @@ def _chain_kernel(
     seed_ref, theta0_ref, xg_ref, yg_ref, cumT_ref, Ms_ref, uin_ref,
     *refs,
     steps, P, L, depth, N, n_data, temper, step_size, trans_sigma,
-    trans_norm, mode, rng, emit,
+    trans_norm, mode, rng, emit, ablate,
 ):
     if emit == "all":
         uemit_ref, shift_ref, trace_ref, all_ref = refs
@@ -353,40 +353,63 @@ def _chain_kernel(
             # threshold row — searchsorted side="left" exactly, like the
             # root path's count.  Padded lanes l >= P have
             # cdf[l] = wsum >= u, so they never inflate a count.
+            # ``ablate`` (perf instrumentation, scripts/emit_ablation.py)
+            # truncates the emission pipeline after stage k, keeping the
+            # partial result live through a 1e-30 trace contribution.
             wsum = jnp.sum(w)
-            cdf_col = jnp.sum(ident * cdf, axis=1, keepdims=True)  # (L,1)
-            cnt = jnp.sum(
-                (cdf_col < u_row * wsum).astype(jnp.float32),
-                axis=0, keepdims=True,
-            )
-            k_row = jnp.minimum(cnt, float(P - 1))  # (1, L)
-            # per-slot selected states: ONE MXU matmul against the
-            # one-hot-columns matrix — all three coordinates at once
-            O2 = (slot.astype(jnp.float32) == k_row).astype(jnp.float32)
-            SELR = _dot(Y, O2)  # (8, L): column j = slot j's draw
-            # slot 0's draw IS the next state (all_first)
-            theta2 = jax.lax.slice_in_dim(SELR, 0, 1, axis=1)  # (8, 1)
-            # within-step flattened-stream jumps (slot j-1 -> j): the
-            # previous slot's states via one superdiagonal matmul
-            PREV = _dot(SELR, shift_ref[...])  # (8, L)
-            D = SELR - PREV
-            J = jnp.sum(jmask_row * D * D)
-            # last slot's state, rows 0-2 rolled to meta rows 4-6
-            lastc = pltpu.roll(
-                jax.lax.slice_in_dim(SELR, P - 1, P, axis=1),
-                shift=4, axis=0,
-            )  # (8, 1)
-            # meta trace rows: 0-2 root state, 3 within-step jump sum,
-            # 4-6 last slot's state (for host-side boundary jumps)
-            rowf = row.astype(jnp.float32)
-            upd = theta2 + J * (rowf == 3.0) + lastc
-            trace2 = trace + upd * hit
-            # per-slot b0 stream: O(L) dynamic single-row store (the
-            # write analog of the pl.ds uniform reads above)
-            all_ref[pl.ds(t, 1), :] = jax.lax.slice_in_dim(
-                SELR, 0, 1, axis=0
-            )
-            return theta2, trace2
+            tiny = jnp.sum(u_row)
+            if ablate >= 2:
+                cdf_col = jnp.sum(ident * cdf, axis=1,
+                                  keepdims=True)  # (L, 1)
+                tiny = jnp.sum(cdf_col)
+            if ablate >= 3:
+                cnt = jnp.sum(
+                    (cdf_col < u_row * wsum).astype(jnp.float32),
+                    axis=0, keepdims=True,
+                )
+                k_row = jnp.minimum(cnt, float(P - 1))  # (1, L)
+                tiny = jnp.sum(k_row)
+            if ablate >= 4:
+                # per-slot selected states: ONE MXU matmul against the
+                # one-hot-columns matrix — all three coordinates at once
+                O2 = (slot.astype(jnp.float32) == k_row).astype(
+                    jnp.float32
+                )
+                SELR = _dot(Y, O2)  # (8, L): column j = slot j's draw
+                # slot 0's draw IS the next state (all_first)
+                theta2e = jax.lax.slice_in_dim(SELR, 0, 1, axis=1)
+                tiny = jnp.sum(SELR)
+            if ablate >= 5:
+                # within-step flattened-stream jumps (slot j-1 -> j):
+                # the previous slot's states via one superdiag matmul
+                PREV = _dot(SELR, shift_ref[...])  # (8, L)
+                D = SELR - PREV
+                J = jnp.sum(jmask_row * D * D)
+                tiny = J
+            if ablate >= 6:
+                # last slot's state, rows 0-2 rolled to meta rows 4-6
+                lastc = pltpu.roll(
+                    jax.lax.slice_in_dim(SELR, P - 1, P, axis=1),
+                    shift=4, axis=0,
+                )  # (8, 1)
+                # meta trace rows: 0-2 root state, 3 within-step jump
+                # sum, 4-6 last slot's state (host boundary jumps)
+                rowf = row.astype(jnp.float32)
+                upd = theta2e + J * (rowf == 3.0) + lastc
+                trace2e = trace + upd * hit
+            if ablate >= 7:
+                # per-slot b0 stream: O(L) dynamic single-row store (the
+                # write analog of the pl.ds uniform reads above)
+                all_ref[pl.ds(t, 1), :] = jax.lax.slice_in_dim(
+                    SELR, 0, 1, axis=0
+                )
+                return theta2e, trace2e
+            if ablate == 6:
+                return theta2e, trace2e
+            # ablation fallthrough (stages 1-5): chain via the root
+            # select below, folding the truncated stage's output into
+            # the trace at 1e-30 so Mosaic cannot dead-code it
+            trace = trace + (1e-30 * tiny) * hit
         u = jnp.sum(usel * lane0) * jnp.sum(w)
         # select the first lane with cdf >= u by *counting* lanes below u
         # (np.searchsorted side="left" + clamp, exactly).  An interval
@@ -411,7 +434,7 @@ def _chain_kernel(
 
 def make_fused_chain(
     target, cfg, *, chunk: int = 512, interpret=False, rng: str = "kernel",
-    emit: str = "root",
+    emit: str = "root", _ablate: int = 7,
 ):
     """Build ``run(key, theta0, num_steps) -> trace (num_steps, 3)``.
 
@@ -504,6 +527,7 @@ def make_fused_chain(
             step_size=float(cfg.step_size),
             trans_sigma=float(cfg.trans_sigma),
             trans_norm=float(trans_norm), mode=mode, rng=rng, emit=emit,
+            ablate=_ablate,
         )
         n_in = 7 if emit != "all" else 9
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [

@@ -157,7 +157,12 @@ def run_stage(stage: dict) -> bool:
         log(f"skip {name} (marked skip)")
         return True
     logpath = os.path.join(STATE_DIR, f"{name}.log")
-    cmd = [sys.executable, "-m", "pmpx.cli", "run"] + stage["argv"]
+    if "cmd" in stage:
+        # raw command stage (e.g. the terminal summarize step) — argv
+        # is passed to the interpreter directly, not to `pmpx.cli run`
+        cmd = [sys.executable] + stage["cmd"]
+    else:
+        cmd = [sys.executable, "-m", "pmpx.cli", "run"] + stage["argv"]
     wait_for_chip()  # don't launch into a wedge a previous stage hit
     for attempt in range(1, MAX_ATTEMPTS + 1):
         log(f"start {name} attempt {attempt}: {' '.join(cmd)}")
