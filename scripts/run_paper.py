@@ -174,7 +174,7 @@ def run_stage(stage: dict) -> bool:
                 cmd, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT
             )
             rc = _wait_with_stall_monitor(
-                proc, [logpath, _out_dir(stage["argv"]) or ""]
+                proc, [logpath, _out_dir(stage.get("argv", [])) or ""]
             )
         wall = time.time() - t0
         log(f"{name} attempt {attempt}: rc={rc} wall={wall:.0f}s")
@@ -190,7 +190,9 @@ def run_stage(stage: dict) -> bool:
             wait_for_chip()
     log(f"FAILED {name} after {MAX_ATTEMPTS} attempts")
     with open(os.path.join(STATE_DIR, f"{name}.failed"), "w") as f:
-        json.dump({"argv": stage["argv"], "at": time.time()}, f)
+        json.dump(
+            {"argv": stage.get("argv", stage.get("cmd")),
+             "at": time.time()}, f)
     return False
 
 
@@ -217,7 +219,7 @@ def main():
         pending = [
             s for s in stages
             if s["name"] not in done
-            and failed.get(s["name"]) != s["argv"]
+            and failed.get(s["name"]) != s.get("argv", s.get("cmd"))
         ]
         if not pending:
             break
@@ -226,7 +228,7 @@ def main():
             done.add(stage["name"])
             failed.pop(stage["name"], None)
         else:
-            failed[stage["name"]] = stage["argv"]
+            failed[stage["name"]] = stage.get("argv", stage.get("cmd"))
     if failed:
         log(f"queue drained with FAILED stages: {sorted(failed)}")
         sys.exit(1)
