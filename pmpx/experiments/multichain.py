@@ -80,3 +80,111 @@ def run(
         out[f"mean_{name}"] = float(vals.mean())
     save_trace(out_dir, "multichain", {"roots": roots}, out)
     return out
+
+
+def sweep(
+    Ps=(8, 16, 32, 64, 128, 256, 512),
+    algos=("mp", "pmp"),
+    n_chains: int = 8,
+    num_steps: int = 5000,
+    n_data: int = 100000,
+    step_size: float = 0.05,
+    seed: int = 0,
+    out_dir: str = "artifacts/multichain",
+):
+    """Chain-farm ESS table: aggregate ESS/s + split-R-hat per P.
+
+    ``n_chains`` chains run as ONE SPMD program via
+    :func:`run_chains_sharded` over the mesh ``chains`` axis (the tested
+    pipeline of ``tests/test_parallel.py``, now recorded as an artifact).
+    For each (algo, P) cell: P proposals per superstep — flat MTM for
+    ``mp`` (reference ``ess_per_s_MP.cu``), a binary depth-log2(P) tree
+    for ``pmp`` (``ess_per_s_PMP.cu``) — wall time is the post-compile
+    jitted farm call, aggregate ESS/s sums the per-chain tail ESS of every
+    coordinate stream across chains, and split-R-hat certifies the farm
+    actually converged (a diagnostic the reference's hand-pinned
+    multi-process protocol has no analog of; SURVEY.md §2.5).
+    """
+    import time
+
+    x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
+    target = BayesLinReg(x, y, temper=50.0 / n_data)
+    rng = np.random.default_rng(seed)
+    theta0 = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-3, 3, size=(n_chains, 2)),
+                rng.uniform(0.3, 2.0, size=(n_chains, 1)),
+            ],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    mesh = make_mesh(chains=n_chains)
+    collect = lambda th, o: th
+    rows = []
+    for algo in algos:
+        for P in Ps:
+            if algo == "pmp":
+                depth = int(np.log2(P))
+                assert (1 << depth) == P, "binary PMP needs P a power of 2"
+                spec = SamplerSpec(
+                    algo="pmp", N=1, depth=depth, step_size=step_size,
+                    selection="all_first",
+                )
+            else:
+                spec = SamplerSpec(
+                    algo="mp", N=P, depth=1, step_size=step_size,
+                    selection="all_first",
+                )
+            superstep = spec.build(target)
+            farm = jax.jit(
+                lambda k, t, s=superstep: run_chains_sharded(
+                    s, k, t, num_steps, mesh, collect=collect
+                )
+            )
+            keys = jax.random.split(jax.random.key(seed + 1), n_chains)
+            jax.block_until_ready(farm(keys, theta0))  # compile + warm
+            keys2 = jax.random.split(jax.random.key(seed + 2), n_chains)
+            t0 = time.perf_counter()
+            _, roots = jax.block_until_ready(farm(keys2, theta0))
+            wall = time.perf_counter() - t0
+            roots = np.asarray(roots)  # (chains, steps, 3)
+            tail = roots[:, num_steps // 2 :, :]
+            row = {
+                "algo": algo,
+                "P": int(P),
+                "chains": int(n_chains),
+                "steps": int(num_steps),
+                "wall_s": float(wall),
+            }
+            total_ess = 0.0
+            for j, name in enumerate(("beta0", "beta1", "sigma")):
+                vals = np.abs(tail[:, :, j]) if j == 2 else tail[:, :, j]
+                row[f"rhat_{name}"] = float(split_rhat(jnp.asarray(vals)))
+                ch_ess = [float(ess(jnp.asarray(v))) for v in vals]
+                total_ess += sum(ch_ess)
+                row[f"ess_{name}"] = float(np.sum(ch_ess))
+            row["agg_ess_per_s"] = total_ess / wall
+            rows.append(row)
+            print(
+                f"[multichain.sweep] {algo} P={P}: "
+                f"agg_ess_per_s={row['agg_ess_per_s']:.1f} "
+                f"rhat_beta1={row['rhat_beta1']:.4f} wall={wall:.2f}s",
+                flush=True,
+            )
+    import json as _json
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    summary = {
+        "protocol": (
+            f"{n_chains} chains sharded over an {n_chains}-device mesh "
+            "(one shard_map'd SPMD program), synthetic linreg "
+            f"n={n_data}, {num_steps} supersteps, tail-half metrics"
+        ),
+        "rows": rows,
+    }
+    with open(_os.path.join(out_dir, "chain_farm.json"), "w") as f:
+        _json.dump(summary, f, indent=1)
+    return summary

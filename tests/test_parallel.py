@@ -178,3 +178,21 @@ def test_data_sharded_chain_recovers_parameters():
     tail = s[len(s) // 2 :]
     assert abs(tail[:, 0].mean() + 1.0) < 0.15
     assert abs(tail[:, 1].mean() - 2.0) < 0.15
+
+
+def test_multichain_sweep_writes_chain_farm_table(tmp_path):
+    """The recorded chain-farm artifact pipeline (multichain.sweep): one
+    (algo, P) cell end-to-end on the 8-device mesh, table row carries
+    aggregate ESS/s + split-R-hat per coordinate."""
+    from pmpx.experiments import multichain
+
+    out = multichain.sweep(
+        Ps=(4,), algos=("pmp",), num_steps=120, n_data=2048,
+        out_dir=str(tmp_path),
+    )
+    (row,) = out["rows"]
+    assert row["algo"] == "pmp" and row["P"] == 4
+    assert row["agg_ess_per_s"] > 0
+    for c in ("beta0", "beta1", "sigma"):
+        assert np.isfinite(row[f"rhat_{c}"])
+    assert (tmp_path / "chain_farm.json").exists()
