@@ -222,3 +222,36 @@ def test_failed_stage_requeued_only_on_argv_edit(run_paper, monkeypatch,
     qp.write_text(json.dumps({"stages": [fixed]}))
     run_paper.main()  # drains cleanly now
     assert calls == [["exp", "--fixed", "1"]]
+
+
+def test_cmd_stages_drain_through_main(run_paper, monkeypatch, tmp_path):
+    """Raw-``cmd`` stages (summarize etc.) have no ``argv`` key; the
+    pending filter and failure bookkeeping in ``main()`` must handle
+    them (regression: KeyError 'argv' crashed the r4 driver the first
+    time a queue mixing argv and cmd stages hit the selection loop)."""
+    import json
+
+    qp = tmp_path / "q.json"
+    qp.write_text(json.dumps({"stages": [
+        {"name": "exp1", "argv": ["exp", "--x", "1"]},
+        {"name": "sum1", "cmd": ["scripts/summarize_paper.py", "all"]},
+    ]}))
+    monkeypatch.setattr(run_paper, "STATE_DIR", str(tmp_path))
+    monkeypatch.setattr(run_paper.sys, "argv", ["run_paper.py", str(qp)])
+
+    ran = []
+    monkeypatch.setattr(
+        run_paper, "run_stage", lambda s: ran.append(s["name"]) or True
+    )
+    run_paper.main()
+    assert ran == ["exp1", "sum1"]
+
+    # a FAILED cmd stage is skipped while unchanged, re-queued on edit
+    ran.clear()
+    monkeypatch.setattr(
+        run_paper, "run_stage",
+        lambda s: ran.append(s["name"]) or s["name"] != "sum1",
+    )
+    with pytest.raises(SystemExit):
+        run_paper.main()
+    assert ran == ["exp1", "sum1"]  # each attempted exactly once
