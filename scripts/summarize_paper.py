@@ -348,6 +348,24 @@ def mnist(out_dir="artifacts/mnist_paper"):
                 "steady_ms_per_superstep"
             ),
         }
+    # The queue extends each chain through resumable rungs, so several
+    # stems are honest prefixes of the same run; point the reader at the
+    # longest per (algo, model) cell and mark the rest superseded.
+    best = {}
+    for stem, row in res.items():
+        if not isinstance(row, dict) or "steps" not in row:
+            continue
+        cell = (stem.split("_")[0], row.get("model"))
+        if cell not in best or row["steps"] > res[best[cell]]["steps"]:
+            best[cell] = stem
+    for stem, row in res.items():
+        if isinstance(row, dict) and "steps" in row:
+            top = best[(stem.split("_")[0], row.get("model"))]
+            if top != stem:
+                row["superseded_by"] = top
+    res["current_cells"] = {
+        f"{algo}_{model}": stem for (algo, model), stem in sorted(best.items())
+    }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(res, f, indent=1)
     _mnist_curves_pdf(out_dir)
