@@ -147,6 +147,45 @@ def _wait_with_stall_monitor(proc, watched: list) -> int:
         time.sleep(MONITOR_POLL_S)
 
 
+def _commit_stage_artifacts(stage: dict, marker: str, logpath: str) -> None:
+    """Commit a drained stage's artifacts at the stage boundary so a
+    round can never end with finished results sitting uncommitted
+    (VERDICT r3 'round-end hygiene').  Only the stage's own paths are
+    staged — never `git add -A`, which could sweep in a concurrent
+    stage's half-written traces or in-flight source edits."""
+    paths = [marker, logpath]
+    out = _out_dir(stage.get("argv", stage.get("cmd", [])))
+    if out:
+        paths.append(out)
+    # summarize-style cmd stages rewrite summary dirs given as plain args
+    for a in stage.get("cmd", []):
+        cand = os.path.join(REPO, a)
+        if a.startswith("artifacts") and os.path.exists(cand):
+            paths.append(cand)
+    try:
+        subprocess.run(["git", "add", "--"] + paths, cwd=REPO,
+                       check=True, capture_output=True, timeout=120)
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + paths, cwd=REPO,
+            capture_output=True, timeout=120,
+        ).stdout.strip()
+        if not dirty:
+            return  # nothing new under the stage's paths
+        # pathspec'd commit: a builder staging unrelated files
+        # concurrently must not get them swept into this commit
+        subprocess.run(
+            ["git", "commit", "-q", "-m",
+             f"Queue: {stage['name']} artifacts (rc=0)\n\n"
+             f"No-Verification-Needed: artifacts/data-only commit",
+             "--"] + paths,
+            cwd=REPO, check=True, capture_output=True, timeout=120,
+        )
+        log(f"committed {stage['name']} artifacts")
+    except (subprocess.SubprocessError, OSError) as e:
+        # committing is best-effort hygiene; never fail the stage on it
+        log(f"stage-commit skipped for {stage['name']}: {e}")
+
+
 def run_stage(stage: dict) -> bool:
     name = stage["name"]
     marker = os.path.join(STATE_DIR, f"{name}.done")
@@ -181,6 +220,7 @@ def run_stage(stage: dict) -> bool:
         if rc == 0:
             with open(marker, "w") as f:
                 json.dump({"wall_s": wall, "attempts": attempt}, f)
+            _commit_stage_artifacts(stage, marker, logpath)
             stale = os.path.join(STATE_DIR, f"{name}.failed")
             if os.path.exists(stale):
                 os.remove(stale)

@@ -224,6 +224,50 @@ def test_failed_stage_requeued_only_on_argv_edit(run_paper, monkeypatch,
     assert calls == [["exp", "--fixed", "1"]]
 
 
+def test_stage_boundary_commit_is_scoped(run_paper, monkeypatch, tmp_path):
+    """A drained stage's artifacts are committed at the boundary, and
+    the pathspec'd commit must NOT sweep in unrelated files a builder
+    staged concurrently (round-end hygiene, VERDICT r3 weak #5)."""
+    import json
+
+    def git(*args):
+        return subprocess.run(["git", *args], cwd=tmp_path, check=True,
+                              capture_output=True, text=True).stdout
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "seed").write_text("s")
+    git("add", "seed")
+    git("commit", "-q", "-m", "seed")
+
+    out = tmp_path / "artifacts" / "x"
+    out.mkdir(parents=True)
+    (out / "trace.npy").write_text("data")
+    marker = tmp_path / "s1.done"
+    marker.write_text("{}")
+    logp = tmp_path / "s1.log"
+    logp.write_text("log")
+    # a concurrently-staged unrelated file must stay out of the commit
+    (tmp_path / "unrelated.py").write_text("x = 1")
+    git("add", "unrelated.py")
+
+    monkeypatch.setattr(run_paper, "REPO", str(tmp_path))
+    stage = {"name": "s1", "argv": ["exp", "--out-dir", "artifacts/x"]}
+    run_paper._commit_stage_artifacts(stage, str(marker), str(logp))
+
+    assert "Queue: s1 artifacts" in git("log", "-1", "--format=%s")
+    shown = git("show", "--name-only", "--format=", "HEAD").split()
+    assert sorted(shown) == ["artifacts/x/trace.npy", "s1.done", "s1.log"]
+    # unrelated.py is still only staged, not committed
+    assert "unrelated.py" in git("diff", "--cached", "--name-only")
+
+    # idempotent: nothing new -> no empty commit
+    n_before = git("rev-list", "--count", "HEAD").strip()
+    run_paper._commit_stage_artifacts(stage, str(marker), str(logp))
+    assert git("rev-list", "--count", "HEAD").strip() == n_before
+
+
 def test_cmd_stages_drain_through_main(run_paper, monkeypatch, tmp_path):
     """Raw-``cmd`` stages (summarize etc.) have no ``argv`` key; the
     pending filter and failure bookkeeping in ``main()`` must handle
