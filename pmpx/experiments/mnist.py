@@ -92,6 +92,7 @@ def run(
     compute_dtype: str = "",
     chunk_steps=None,
     resume: bool = False,
+    lstm_kernel: bool = False,
 ):
     """``chunk_steps``: run the chain as checkpointed device calls of
     that many supersteps (``pmpx.checkpoint.resume_chain``) instead of
@@ -148,6 +149,8 @@ def run(
         proposal_chunk=proposal_chunk,
         compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
     )
+    if lstm_kernel and model != "LSTM":
+        raise ValueError("--lstm-kernel requires --model LSTM")
     if warm_start:
         # seed from a torch checkpoint, e.g. the reference's own committed
         # FC_model.pkl / CNN_model.pkl / LSTM_model.pkl (PMP_FC.py:188-189)
@@ -158,6 +161,19 @@ def run(
         )
     else:
         theta0 = pretrain(target, pretrain_steps)
+
+    if lstm_kernel:
+        # fused Pallas forward: the whole 28-step recurrence + all P
+        # speculative parameter sets in one kernel, VMEM-resident
+        # carries (pmpx/kernels/lstm_fused.py).  Attached AFTER
+        # pretrain (which differentiates log_prob; the kernel is
+        # forward-only) — the MTM supersteps themselves are
+        # gradient-free.  Density rounding differs from the XLA path
+        # (float reassociation), so this is a protocol field — prefix
+        # adoption must never splice kernel and XLA runs.
+        from pmpx.kernels import lstm_fused
+
+        lstm_fused.attach(target)
 
     superstep = sampler_spec(algo, alpha, N).build(target)
     # CE loss of the chosen state, from the superstep's own density
@@ -185,6 +201,10 @@ def run(
             "label_noise": float(label_noise),
             "seed": int(seed),
             "compute_dtype": compute_dtype,
+            # present only when on: pre-existing sidecars (all XLA-path)
+            # must keep matching, and a kernel run must never splice
+            # onto an XLA-path prefix (different density rounding)
+            **({"lstm_kernel": True} if lstm_kernel else {}),
             "layout": layout,
             "warm_start": warm_start or None,
             "pretrain_steps": None if warm_start else int(pretrain_steps),

@@ -91,6 +91,10 @@ class NNPosterior:
         self.d = int(flat.size)
         self._theta0 = flat
         self._unravel = unravel
+        # Optional fused-kernel density (e.g. pmpx.kernels.lstm_fused
+        # .attach): a drop-in log_prob_batch that bypasses the XLA
+        # forward.  Gradient paths keep the XLA route regardless.
+        self._fast_batch = None
 
     # ------------------------------------------------------------------
     @contextmanager
@@ -166,6 +170,11 @@ class NNPosterior:
 
     # -- Target protocol ------------------------------------------------
     def log_prob(self, theta, key=None):
+        if self._fast_batch is not None:
+            # route singles through the kernel too: acceptance ratios
+            # must compare densities produced by ONE floating-point
+            # evaluation order, never a mix of kernel and XLA rounding
+            return self._fast_batch(theta[None])[0]
         return self._neg_loss(theta, key)
 
     def _chunked(self, fn, Theta, keys):
@@ -189,6 +198,8 @@ class NNPosterior:
         )
 
     def log_prob_batch(self, Theta, key=None):
+        if self._fast_batch is not None:
+            return self._fast_batch(Theta)
         if self.stochastic:
             keys = jax.random.split(key, Theta.shape[0])
             f = lambda T, K: jax.vmap(self._neg_loss)(T, K)
