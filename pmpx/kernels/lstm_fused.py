@@ -80,7 +80,7 @@ def _kernel(x_ref, wx_ref, wh_ref, b_ref, out_ref, *, T: int, H: int):
 @functools.partial(
     jax.jit, static_argnames=("block_b", "interpret")
 )
-def lstm_final_hidden(x_tm, Wx, Wh, b, *, block_b: int = 512,
+def lstm_final_hidden(x_tm, Wx, Wh, b, *, block_b: int = 256,
                       interpret: bool = False):
     """Final hidden state of a zero-carry LSTM for P parameter sets.
 
@@ -119,7 +119,7 @@ def _gate_stack(cell_params, prefix):
     )
 
 
-def make_fast_log_prob_batch(posterior, *, block_b: int = 512,
+def make_fast_log_prob_batch(posterior, *, block_b: int = 256,
                              interpret=None):
     """Build a kernel-backed ``log_prob_batch(Theta)`` for an NNPosterior
     over ``MnistLSTM`` (28x28 row sequence -> Dense head, CE loss).
@@ -168,7 +168,7 @@ def make_fast_log_prob_batch(posterior, *, block_b: int = 512,
     return fast
 
 
-def attach(posterior, *, block_b: int = 512,
+def attach(posterior, *, block_b: int = 256,
            interpret=None) -> None:
     """Install the fused-kernel density on an MnistLSTM NNPosterior.
 
