@@ -295,7 +295,8 @@ def bnn(out_dir="artifacts/bnn_flagship"):
     print(json.dumps(res, indent=1))
 
 
-def mnist(out_dir="artifacts/mnist_paper"):
+def mnist(out_dir="artifacts/mnist_paper",
+          kernel_dir="artifacts/mnist_paper_kernel"):
     res = {"protocol": (
         "reference Mnist/{FC,CNN,LSTM} protocol: full-batch 60000, "
         "alpha=1e-4, N=7, z-score, single-draw selection; tempering is "
@@ -320,52 +321,63 @@ def mnist(out_dir="artifacts/mnist_paper"):
         "-10*CE), closing most of the gap to MH's -1000*CE — the "
         "inversion is the tempering asymmetry, not the sampler"
     )}
-    for path in sorted(glob.glob(os.path.join(out_dir, "*.json"))):
-        stem = os.path.basename(path)[:-5]
-        if stem == "summary":
-            continue
-        loss_p = os.path.join(out_dir, stem + ".loss.npy")
-        if not os.path.exists(loss_p):
-            continue
-        loss = np.load(loss_p)
-        with open(path) as f:
-            meta = json.load(f)
-        full = {"FC": 500000, "CNN": 250000, "LSTM": 1000000}.get(
-            meta.get("model", ""), None
-        )
-        k = max(1, min(10000, len(loss) // 10))
-        res[stem] = {
-            "model": meta.get("model"),
-            "steps": int(len(loss)),
-            "fraction_of_reference_protocol": (
-                round(len(loss) / full, 3) if full else None
-            ),
-            "loss_first": float(loss[0]),
-            "loss_mean_last_chunk": float(loss[-k:].mean()),
-            "train_acc": meta.get("train_acc"),
-            "test_acc": meta.get("test_acc"),
-            "steady_ms_per_superstep": meta.get(
-                "steady_ms_per_superstep"
-            ),
-        }
+    # kernel-path runs (pmpx.kernels.lstm_fused, --lstm-kernel) live in
+    # their own dir: same stem grammar, different density-rounding
+    # protocol — never merged with the XLA-path chains, summarized as
+    # separate "<stem>@kernel" cells
+    scan = [(out_dir, "")]
+    if kernel_dir and os.path.isdir(kernel_dir):
+        scan.append((kernel_dir, "@kernel"))
+    for d, tag in scan:
+        for path in sorted(glob.glob(os.path.join(d, "*.json"))):
+            stem = os.path.basename(path)[:-5]
+            if stem == "summary" or stem.endswith(".protocol"):
+                continue
+            loss_p = os.path.join(d, stem + ".loss.npy")
+            if not os.path.exists(loss_p):
+                continue
+            loss = np.load(loss_p)
+            with open(path) as f:
+                meta = json.load(f)
+            full = {"FC": 500000, "CNN": 250000, "LSTM": 1000000}.get(
+                meta.get("model", ""), None
+            )
+            k = max(1, min(10000, len(loss) // 10))
+            res[stem + tag] = {
+                "model": meta.get("model"),
+                "steps": int(len(loss)),
+                "fraction_of_reference_protocol": (
+                    round(len(loss) / full, 3) if full else None
+                ),
+                "loss_first": float(loss[0]),
+                "loss_mean_last_chunk": float(loss[-k:].mean()),
+                "train_acc": meta.get("train_acc"),
+                "test_acc": meta.get("test_acc"),
+                "steady_ms_per_superstep": meta.get(
+                    "steady_ms_per_superstep"
+                ),
+                **({"path": "fused_kernel"} if tag else {}),
+            }
     # The queue extends each chain through resumable rungs, so several
     # stems are honest prefixes of the same run; point the reader at the
-    # longest per (algo, model) cell and mark the rest superseded.
+    # longest per (algo, model, path) cell and mark the rest superseded.
+    def _cell(stem, row):
+        tag = "_kernel" if "@kernel" in stem else ""
+        return f"{stem.split('_')[0]}_{row.get('model')}{tag}"
+
     best = {}
     for stem, row in res.items():
         if not isinstance(row, dict) or "steps" not in row:
             continue
-        cell = (stem.split("_")[0], row.get("model"))
+        cell = _cell(stem, row)
         if cell not in best or row["steps"] > res[best[cell]]["steps"]:
             best[cell] = stem
     for stem, row in res.items():
         if isinstance(row, dict) and "steps" in row:
-            top = best[(stem.split("_")[0], row.get("model"))]
+            top = best[_cell(stem, row)]
             if top != stem:
                 row["superseded_by"] = top
-    res["current_cells"] = {
-        f"{algo}_{model}": stem for (algo, model), stem in sorted(best.items())
-    }
+    res["current_cells"] = dict(sorted(best.items()))
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(res, f, indent=1)
     _mnist_curves_pdf(out_dir)

@@ -45,13 +45,19 @@ def test_mnist_summary_marks_prefix_rungs_superseded(summarize, tmp_path):
     s_mh = _fake_run(out, "MH", 2000, "CNN", 0.88)
     s_fc = _fake_run(out, "PMP", 3000, "FC", 0.94)
 
-    summarize.mnist(out_dir=out)
+    kdir = str(tmp_path / "kernel")
+    os.makedirs(kdir)
+    s_k = _fake_run(kdir, "PMP", 8000, "LSTM", 0.61)
+
+    summarize.mnist(out_dir=out, kernel_dir=kdir)
     with open(os.path.join(out, "summary.json")) as f:
         res = json.load(f)
 
     assert res["current_cells"] == {
         "MH_CNN": s_mh, "PMP_CNN": s_new, "PMP_FC": s_fc,
+        "PMP_LSTM_kernel": s_k + "@kernel",
     }
+    assert res[s_k + "@kernel"]["path"] == "fused_kernel"
     assert res[s_old]["superseded_by"] == s_new
     for stem in (s_new, s_mh, s_fc):
         assert "superseded_by" not in res[stem]
