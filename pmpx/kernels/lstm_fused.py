@@ -49,14 +49,14 @@ def _kernel(x_ref, wx_ref, wh_ref, b_ref, out_ref, *, T: int, H: int):
     """One (batch tile, proposal) cell: run the full T-step recurrence.
 
     x_ref: (T, TB, F) time-major input tile (all steps resident in VMEM)
-    wx_ref: (1, F, 4H); wh_ref: (1, H, 4H); b_ref: (1, 4H)
+    wx_ref: (1, F, 4H); wh_ref: (1, H, 4H); b_ref: (1, 1, 4H)
     out_ref: (1, TB, H) final hidden state
     """
     tb = x_ref.shape[1]
     dt = x_ref.dtype
     wx = wx_ref[0]          # (F, 4H)
     wh = wh_ref[0]          # (H, 4H)
-    b = b_ref[:]            # (1, 4H) — keep 2-D (Mosaic: no 1-D vectors)
+    b = b_ref[0]            # (1, 4H) — keep 2-D (Mosaic: no 1-D vectors)
     h = jnp.zeros((tb, H), jnp.float32)
     c = jnp.zeros((tb, H), jnp.float32)
     for t in range(T):      # unrolled: h, c never touch HBM
@@ -103,12 +103,15 @@ def lstm_final_hidden(x_tm, Wx, Wh, b, *, block_b: int = 256,
             pl.BlockSpec((T, block_b, F), lambda bi, p: (0, bi, 0)),
             pl.BlockSpec((1, F, H4), lambda bi, p: (p, 0, 0)),
             pl.BlockSpec((1, H, H4), lambda bi, p: (p, 0, 0)),
-            pl.BlockSpec((1, H4), lambda bi, p: (p, 0)),
+            # (P, 1, 4H): Mosaic requires the block's last two dims to be
+            # (8k, 128k) or equal to the array's — (1, 4H) over (P, 4H)
+            # is neither, so carry the bias with an explicit unit axis
+            pl.BlockSpec((1, 1, H4), lambda bi, p: (p, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_b, H), lambda bi, p: (p, bi, 0)),
         out_shape=jax.ShapeDtypeStruct((P, Bp, H), jnp.float32),
         interpret=interpret,
-    )(x_tm, Wx, Wh, b)
+    )(x_tm, Wx, Wh, b[:, None, :])
     return out[:, :B, :]
 
 
