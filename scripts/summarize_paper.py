@@ -384,11 +384,12 @@ def mnist(out_dir="artifacts/mnist_paper",
     print(json.dumps(res, indent=1))
 
 
-def _mnist_curves_pdf(out_dir):
+def _mnist_curves_pdf(out_dir, kernel_dir="artifacts/mnist_paper_kernel"):
     """One panel per model (FC/CNN/LSTM), every algo's loss trace at its
     honest length.  The reference commits no MNIST traces (scripts +
     model pkls only), so this is the pmpx-side record of the 9-cell
-    grid's paper-scale runs."""
+    grid's paper-scale runs.  Fused-kernel-path chains (separate
+    protocol, ``--lstm-kernel``) are overlaid dashed as ``@kernel``."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -396,15 +397,19 @@ def _mnist_curves_pdf(out_dir):
 
     best = {}  # (model, algo) -> longest loss trace (superseded shorter
     # runs of the same cell are prefixes of the extended one)
-    for path in sorted(glob.glob(os.path.join(out_dir, "*.loss.npy"))):
-        stem = os.path.basename(path)[: -len(".loss.npy")]
-        algo = stem.split("_")[0]
-        for m in ("FC", "CNN", "LSTM"):
-            if stem.endswith(f"{m}_N_7") or f"{m}_N_" in stem:
-                loss = np.load(path)
-                if len(loss) > len(best.get((m, algo), ())):
-                    best[(m, algo)] = loss
-                break
+    scan = [(out_dir, "")]
+    if kernel_dir and os.path.isdir(kernel_dir):
+        scan.append((kernel_dir, "@kernel"))
+    for d, tag in scan:
+        for path in sorted(glob.glob(os.path.join(d, "*.loss.npy"))):
+            stem = os.path.basename(path)[: -len(".loss.npy")]
+            algo = stem.split("_")[0] + tag
+            for m in ("FC", "CNN", "LSTM"):
+                if stem.endswith(f"{m}_N_7") or f"{m}_N_" in stem:
+                    loss = np.load(path)
+                    if len(loss) > len(best.get((m, algo), ())):
+                        best[(m, algo)] = loss
+                    break
     by_model = {}
     for (m, algo), loss in best.items():
         by_model.setdefault(m, []).append((algo, loss))
@@ -414,10 +419,12 @@ def _mnist_curves_pdf(out_dir):
     fig, axes = plt.subplots(1, len(models), figsize=(5 * len(models), 4))
     if len(models) == 1:
         axes = [axes]
-    colors = {"MH": "tab:blue", "MP": "tab:orange", "PMP": "tab:green"}
+    colors = {"MH": "tab:blue", "MP": "tab:orange", "PMP": "tab:green",
+              "PMP@kernel": "tab:red"}
     for ax, m in zip(axes, models):
         for algo, loss in sorted(by_model[m], key=lambda t: t[0]):
             ax.plot(loss, lw=0.5, color=colors.get(algo, "gray"),
+                    ls="--" if algo.endswith("@kernel") else "-",
                     label=f"{algo} ({len(loss)} steps)", alpha=0.85)
         ax.set_yscale("log")
         ax.set_xlabel("superstep")
