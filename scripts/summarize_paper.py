@@ -380,7 +380,7 @@ def mnist(out_dir="artifacts/mnist_paper",
     res["current_cells"] = dict(sorted(best.items()))
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(res, f, indent=1)
-    _mnist_curves_pdf(out_dir)
+    _mnist_curves_pdf(out_dir, kernel_dir=kernel_dir)
     print(json.dumps(res, indent=1))
 
 

@@ -65,3 +65,31 @@ def test_mnist_summary_marks_prefix_rungs_superseded(summarize, tmp_path):
     assert res[s_new]["fraction_of_reference_protocol"] == round(
         5000 / 250000, 3)
     assert os.path.exists(os.path.join(out, "curves.pdf"))
+
+
+def test_mnist_curves_overlays_kernel_dir(summarize, tmp_path, monkeypatch):
+    """The per-model figure must include the fused-kernel-path chains
+    (dashed ALGO@kernel) from the separate protocol dir — the 1M-ladder
+    kernel LSTM run has to be visible next to the XLA-path cells."""
+    out = str(tmp_path / "paper")
+    kdir = str(tmp_path / "kernel")
+    os.makedirs(out)
+    os.makedirs(kdir)
+    _fake_run(out, "PMP", 500, "LSTM", 0.60)
+    _fake_run(kdir, "PMP", 900, "LSTM", 0.61)
+
+    calls = {}
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.axes
+
+    orig = matplotlib.axes.Axes.plot
+
+    def spy(self, *args, **kw):
+        calls[kw.get("label", "")] = kw.get("ls")
+        return orig(self, *args, **kw)
+
+    monkeypatch.setattr(matplotlib.axes.Axes, "plot", spy)
+    summarize._mnist_curves_pdf(out, kernel_dir=kdir)
+    assert calls.get("PMP (500 steps)") == "-"
+    assert calls.get("PMP@kernel (900 steps)") == "--"
