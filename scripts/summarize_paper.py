@@ -15,6 +15,10 @@ produces, per family:
   loss, first-crossing iterations, linear speedup fit) with
   compile-excluded steady-state ms/superstep.
 * ``mnist``  — per-(model, algo) finals with honest step counts.
+* ``ess``    — cross-path overlay of the 1M-step ESS/MSJD parallelism
+  sweeps (``ess_per_s_{MP,PMP}.cu`` protocol, P grid from
+  ``data_trans.py:8``): scan vs fused megakernel on one axes per
+  metric, plus a per-P fused/scan ratio table.
 
 Safe to re-run any time; missing traces are skipped with a note.
 """
@@ -440,6 +444,90 @@ def _mnist_curves_pdf(out_dir, kernel_dir="artifacts/mnist_paper_kernel"):
     plt.close(fig)
 
 
+def ess(scan_dir="artifacts/ess_paper",
+        fused_dir="artifacts/ess_paper_fused",
+        out_dir="artifacts/ess_paths"):
+    """Scan-vs-fused overlay of the reference's ESS/MSJD P sweep.
+
+    Both input summaries carry the 7-point grid (P in
+    ``data_trans.py:8``'s {8..512}) per algo family on the all-stream
+    estimator (the reference's emit-every-proposal protocol,
+    ``ess_per_s_MP.cu:265-278``).  The figure answers where (if
+    anywhere) the scan fallback beats the megakernel; the JSON records
+    the fused/scan ratio per cell.
+    """
+    paths = {}
+    for name, d in (("scan", scan_dir), ("fused", fused_dir)):
+        p = os.path.join(d, "summary.json")
+        if not os.path.exists(p):
+            print(f"ess: {p} missing; skipped")
+            return
+        with open(p) as f:
+            paths[name] = json.load(f)
+
+    # rows[metric][(algo, path)] = [(P, v), ...]
+    rows = {"ess_per_s": {}, "msjd_per_s": {}}
+    for path_name, data in paths.items():
+        for k, v in data.items():
+            parts = k.split("_", 2)
+            if len(parts) != 3 or not parts[2].startswith("all_"):
+                continue  # all-stream estimator only (the protocol's)
+            algo, P, metric = parts[0], int(parts[1][1:]), parts[2][4:]
+            if metric in rows:
+                rows[metric].setdefault((algo, path_name), []).append(
+                    (P, float(v))
+                )
+
+    ratios = {}
+    for metric, series in rows.items():
+        for (algo, _), pts in series.items():
+            scan = dict(series.get((algo, "scan"), []))
+            fused = dict(series.get((algo, "fused"), []))
+            for P in sorted(set(scan) & set(fused)):
+                ratios.setdefault(metric, {})[f"{algo}_P{P}"] = round(
+                    fused[P] / scan[P], 3
+                )
+    res = {
+        "protocol": (
+            "all-stream (emit-every-proposal) estimator, 1M-step "
+            "protocol, P grid per data_trans.py:8; ratio = fused "
+            "megakernel / scan fallback; >1 everywhere means the "
+            "production path dominates at every parallelism"
+        ),
+        "fused_over_scan": ratios,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "ess_paths.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    colors = {"mp": "tab:orange", "pmp": "tab:green"}
+    for metric, fname in (("ess_per_s", "ess_paths_compare.pdf"),
+                          ("msjd_per_s", "msjd_paths_compare.pdf")):
+        fig = plt.figure(figsize=(6, 4))
+        for (algo, path_name), pts in sorted(rows[metric].items()):
+            pts = sorted(pts)
+            plt.plot([p for p, _ in pts], [v for _, v in pts],
+                     marker="o" if path_name == "fused" else "s",
+                     ls="-" if path_name == "fused" else "--",
+                     color=colors.get(algo, "gray"),
+                     label=f"{algo.upper()} {path_name}")
+        plt.xscale("log", base=2)
+        plt.yscale("log")
+        plt.xlabel("parallelism P")
+        plt.ylabel("all-stream " + metric.replace("_", "/"))
+        plt.title("1M-step protocol: fused megakernel vs scan fallback")
+        plt.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, fname))
+        plt.close(fig)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("cifar", "all"):
@@ -448,3 +536,5 @@ if __name__ == "__main__":
         bnn()
     if which in ("mnist", "all"):
         mnist()
+    if which in ("ess", "all"):
+        ess()

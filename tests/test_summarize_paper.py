@@ -93,3 +93,26 @@ def test_mnist_curves_overlays_kernel_dir(summarize, tmp_path, monkeypatch):
     summarize._mnist_curves_pdf(out, kernel_dir=kdir)
     assert calls.get("PMP (500 steps)") == "-"
     assert calls.get("PMP@kernel (900 steps)") == "--"
+
+
+def test_ess_paths_overlay_ratios(summarize, tmp_path):
+    """ess() overlays the scan and fused 1M-step P sweeps and records
+    the per-cell fused/scan ratio on the all-stream estimator."""
+    sdir, fdir, odir = (str(tmp_path / d) for d in ("scan", "fused", "out"))
+    for d, scale in ((sdir, 1.0), (fdir, 2.5)):
+        os.makedirs(d)
+        rows = {}
+        for P in (8, 512):
+            rows[f"pmp_P{P}_all_ess_per_s"] = 100.0 * P * scale
+            rows[f"pmp_P{P}_all_msjd_per_s"] = 10.0 * P * scale
+            rows[f"pmp_P{P}_ess_per_s"] = 1.0  # root path: ignored
+        with open(os.path.join(d, "summary.json"), "w") as f:
+            json.dump(rows, f)
+    summarize.ess(scan_dir=sdir, fused_dir=fdir, out_dir=odir)
+    with open(os.path.join(odir, "ess_paths.json")) as f:
+        res = json.load(f)
+    assert res["fused_over_scan"]["ess_per_s"] == {
+        "pmp_P8": 2.5, "pmp_P512": 2.5}
+    assert res["fused_over_scan"]["msjd_per_s"]["pmp_P8"] == 2.5
+    assert os.path.exists(os.path.join(odir, "ess_paths_compare.pdf"))
+    assert os.path.exists(os.path.join(odir, "msjd_paths_compare.pdf"))
