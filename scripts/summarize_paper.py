@@ -424,7 +424,8 @@ def _mnist_curves_pdf(out_dir, kernel_dir="artifacts/mnist_paper_kernel"):
     if len(models) == 1:
         axes = [axes]
     colors = {"MH": "tab:blue", "MP": "tab:orange", "PMP": "tab:green",
-              "PMP@kernel": "tab:red"}
+              "PMP@kernel": "tab:red", "MH@kernel": "tab:purple",
+              "MP@kernel": "tab:brown"}
     for ax, m in zip(axes, models):
         for algo, loss in sorted(by_model[m], key=lambda t: t[0]):
             ax.plot(loss, lw=0.5, color=colors.get(algo, "gray"),
