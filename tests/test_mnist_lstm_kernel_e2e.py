@@ -52,6 +52,23 @@ def test_kernel_path_runs_and_resumes_own_prefix(tmp_path, capsys):
     assert len(loss12) == 12
 
 
+def test_kernel_path_mh_and_mp_cells_run(tmp_path):
+    """The r5 ladder's MH/MP kernel-path cells (``--lstm-kernel true
+    --algo {mh,mp}``): the fused density must serve every sampler the
+    reference's LSTM grid uses (``complex_nets/Mnist/LSTM/{MH,MP}_LSTM.py``),
+    not just PMP — MH evaluates it at P=2, MP at the flat N+1 set."""
+    out_dir = str(tmp_path)
+    for algo in ("mh", "mp"):
+        kw = dict(KW, algo=algo)
+        r = mnist.run(num_steps=8, lstm_kernel=True, out_dir=out_dir, **kw)
+        assert np.isfinite(r["loss_last"])
+    sides = _sidecar(out_dir)
+    stems = sorted(sides)
+    assert any(s.startswith("MH_") for s in stems)
+    assert any(s.startswith("MP_") for s in stems)
+    assert all(sides[s]["lstm_kernel"] is True for s in stems)
+
+
 def test_kernel_run_never_splices_onto_xla_prefix(tmp_path, capsys):
     out_dir = str(tmp_path)
     mnist.run(num_steps=8, out_dir=out_dir, **KW)  # XLA-path prefix
