@@ -55,6 +55,29 @@ def main(argv=None):
         except Exception:
             pass
 
+    # Persistent compilation cache: paper-protocol runs are chunked
+    # resumable subprocesses, and every fresh process otherwise re-pays
+    # the remote-compile of the SAME chunk program (3-25 min for the big
+    # NN supersteps).  Cache hits make a resume rung start stepping in
+    # seconds.  If the backend can't serialize an executable JAX falls
+    # back to compiling, so this is strictly no-worse; set
+    # PMPX_NO_COMPILE_CACHE=1 to opt out.
+    if not os.environ.get("PMPX_NO_COMPILE_CACHE"):
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "PMPX_COMPILE_CACHE_DIR", "/tmp/pmpx_jax_cache"
+                ),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10.0
+            )
+        except Exception:
+            pass
+
     parser = argparse.ArgumentParser(prog="pmpx")
     sub = parser.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="list experiments")

@@ -91,6 +91,8 @@ def sweep(
     step_size: float = 0.05,
     seed: int = 0,
     out_dir: str = "artifacts/multichain",
+    path: str = "sharded",
+    chunk: int = 500,
 ):
     """Chain-farm ESS table: aggregate ESS/s + split-R-hat per P.
 
@@ -104,6 +106,13 @@ def sweep(
     coordinate stream across chains, and split-R-hat certifies the farm
     actually converged (a diagnostic the reference's hand-pinned
     multi-process protocol has no analog of; SURVEY.md §2.5).
+
+    ``path="fused"`` farms the production megakernel instead
+    (:func:`pmpx.parallel.run_chains_fused`; sufficient-statistics
+    likelihood, whole ``chunk`` of supersteps per ``pallas_call``) —
+    wall-clock is only meaningful on real TPU chips; on CPU the kernel
+    runs interpreted (and the mesh is capped at 4 shards: more concurrent
+    interpret-mode callback shards deadlock the host callback pool).
     """
     import time
 
@@ -120,7 +129,10 @@ def sweep(
         ),
         jnp.float32,
     )
-    mesh = make_mesh(chains=n_chains)
+    if path == "fused" and jax.default_backend() != "tpu":
+        mesh = make_mesh(chains=min(n_chains, 4))
+    else:
+        mesh = make_mesh(chains=n_chains)
     collect = lambda th, o: th
     rows = []
     for algo in algos:
@@ -137,18 +149,30 @@ def sweep(
                     algo="mp", N=P, depth=1, step_size=step_size,
                     selection="all_first",
                 )
-            superstep = spec.build(target)
-            farm = jax.jit(
-                lambda k, t, s=superstep: run_chains_sharded(
-                    s, k, t, num_steps, mesh, collect=collect
+            if path == "fused":
+                from pmpx.kernels import fused_chain as fc
+                from pmpx.parallel import run_chains_fused
+
+                farm = lambda k, t, c=fc.spec_to_cfg(spec): (
+                    run_chains_fused(
+                        target, c, k, t, num_steps, mesh,
+                        chunk=min(chunk, num_steps),
+                    )
                 )
-            )
+            else:
+                superstep = spec.build(target)
+                farm = jax.jit(
+                    lambda k, t, s=superstep: run_chains_sharded(
+                        s, k, t, num_steps, mesh, collect=collect
+                    )
+                )
             keys = jax.random.split(jax.random.key(seed + 1), n_chains)
             jax.block_until_ready(farm(keys, theta0))  # compile + warm
             keys2 = jax.random.split(jax.random.key(seed + 2), n_chains)
             t0 = time.perf_counter()
-            _, roots = jax.block_until_ready(farm(keys2, theta0))
+            out = jax.block_until_ready(farm(keys2, theta0))
             wall = time.perf_counter() - t0
+            roots = out if path == "fused" else out[1]
             roots = np.asarray(roots)  # (chains, steps, 3)
             tail = roots[:, num_steps // 2 :, :]
             row = {
@@ -179,12 +203,15 @@ def sweep(
     _os.makedirs(out_dir, exist_ok=True)
     summary = {
         "protocol": (
-            f"{n_chains} chains sharded over an {n_chains}-device mesh "
+            f"{n_chains} chains sharded over a "
+            f"{mesh.devices.size}-device mesh "
             "(one shard_map'd SPMD program), synthetic linreg "
             f"n={n_data}, {num_steps} supersteps, tail-half metrics"
         ),
+        "path": path,
         "rows": rows,
     }
-    with open(_os.path.join(out_dir, "chain_farm.json"), "w") as f:
+    name = "chain_farm_fused.json" if path == "fused" else "chain_farm.json"
+    with open(_os.path.join(out_dir, name), "w") as f:
         _json.dump(summary, f, indent=1)
     return summary

@@ -6,6 +6,7 @@ from pmpx.parallel.mesh import (
 )
 from pmpx.parallel.chains import (
     run_chains_data_sharded,
+    run_chains_fused,
     run_chains_sharded,
     run_chains_vmapped,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "AXIS_TREE",
     "make_mesh",
     "run_chains_data_sharded",
+    "run_chains_fused",
     "run_chains_sharded",
     "run_chains_vmapped",
     "ShardedLinReg",

@@ -24,6 +24,7 @@ __all__ = [
     "run_chains_sharded",
     "run_chains_vmapped",
     "run_chains_data_sharded",
+    "run_chains_fused",
 ]
 
 
@@ -74,6 +75,57 @@ def run_chains_sharded(
             superstep, k, t, num_steps, collect=collect
         )
         return jax.vmap(f)(local_keys, local_theta0)
+
+    return run(keys, theta0)
+
+
+def run_chains_fused(
+    target,
+    cfg,
+    keys: jnp.ndarray,
+    theta0: jnp.ndarray,
+    num_steps: int,
+    mesh: Mesh,
+    *,
+    chunk: int = 512,
+    rng: str = "kernel",
+    interpret=False,
+):
+    """Chain farm over the PRODUCTION fused-megakernel path.
+
+    Same SPMD shape as :func:`run_chains_sharded` — chains shard over the
+    mesh ``chains`` axis, replacing the reference's hand-pinned one-process-
+    per-GPU protocol (``ess_per_s_MP.cu:89`` ``cudaSetDevice``;
+    SURVEY.md §2.5) — but each device runs its local chains through
+    :func:`pmpx.kernels.fused_chain.make_fused_chain` (the whole chunk of
+    every superstep inside one ``pallas_call``) instead of the XLA scan
+    superstep.  Local chains are ``lax.map``'d, not vmapped: the megakernel
+    owns the whole chip per step, so batching it adds no parallelism —
+    across-device farming is where the scaling is.
+
+    keys: (C,) per-chain PRNG keys; theta0: (C, 3); C a multiple of the
+    ``chains`` axis size.  Returns the (C, num_steps, 3) root traces.
+    Bit-identical to running ``make_fused_chain``'s ``run`` serially per
+    chain with the same keys (asserted in ``tests/test_parallel.py``).
+    """
+    from pmpx.kernels.fused_chain import make_fused_chain
+
+    runk = make_fused_chain(target, cfg, chunk=chunk, rng=rng,
+                            interpret=interpret)
+    spec_chain = P(AXIS_CHAINS)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_chain, spec_chain),
+        out_specs=spec_chain,
+        check_vma=False,
+    )
+    def run(local_keys, local_theta0):
+        return jax.lax.map(
+            lambda kt: runk(kt[0], kt[1], num_steps),
+            (local_keys, local_theta0),
+        )
 
     return run(keys, theta0)
 

@@ -196,3 +196,64 @@ def test_multichain_sweep_writes_chain_farm_table(tmp_path):
     for c in ("beta0", "beta1", "sigma"):
         assert np.isfinite(row[f"rhat_{c}"])
     assert (tmp_path / "chain_farm.json").exists()
+
+
+def test_multichain_sweep_fused_path(tmp_path):
+    """sweep(path="fused") farms the production megakernel: same table
+    schema, chain_farm_fused.json artifact, mesh auto-capped at 4 shards
+    on CPU (interpret-mode callback-pool limit)."""
+    from pmpx.experiments import multichain
+
+    out = multichain.sweep(
+        Ps=(4,), algos=("pmp",), num_steps=96, n_data=2048,
+        out_dir=str(tmp_path), path="fused", chunk=32,
+    )
+    assert out["path"] == "fused"
+    (row,) = out["rows"]
+    assert row["algo"] == "pmp" and row["P"] == 4
+    assert row["agg_ess_per_s"] > 0
+    for c in ("beta0", "beta1", "sigma"):
+        assert np.isfinite(row[f"rhat_{c}"])
+    assert (tmp_path / "chain_farm_fused.json").exists()
+
+
+def test_fused_chain_farm_matches_serial():
+    """8 megakernel chains farmed over the chains mesh axis are bit-identical
+    to the same 8 chains run serially through make_fused_chain's run —
+    the production-path analog of the reference's one-process-per-GPU
+    protocol (ess_per_s_MP.cu:89)."""
+    from pmpx.kernels.fused_chain import make_fused_chain
+    from pmpx.parallel import run_chains_fused
+
+    x, y = make_synthetic_linreg(jax.random.key(7), 2048)
+    target = BayesLinReg(x, y, temper=50.0 / 2048)
+    cfg = PMPConfig(N=1, depth=3, step_size=0.05, selection="all_first")
+    num_steps, chunk = 48, 16
+
+    keys = jax.random.split(jax.random.key(8), 8)
+    rng = np.random.default_rng(0)
+    theta0 = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-2, 2, (8, 2)), rng.uniform(0.5, 1.5, (8, 1))],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+
+    # 4 shards x 2 local chains: exercises both the shard_map split and the
+    # per-device lax.map.  NOT 8 shards: interpret-mode Pallas runs as host
+    # callbacks, and 8 concurrent callback-bearing shards exhaust the CPU
+    # callback thread pool and deadlock (TPU executes the kernel natively,
+    # no callbacks — unaffected).
+    mesh = make_mesh(chains=4)
+    farm = run_chains_fused(
+        target, cfg, keys, theta0, num_steps, mesh, chunk=chunk
+    )
+    assert farm.shape == (8, num_steps, 3)
+
+    runk = make_fused_chain(target, cfg, chunk=chunk)
+    for c in range(8):
+        serial = runk(keys[c], theta0[c], num_steps)
+        np.testing.assert_array_equal(
+            np.asarray(farm[c]), np.asarray(serial)
+        )
