@@ -66,10 +66,13 @@ def main(argv=None):
         import jax
 
         try:
+            # home-local default: /tmp is cleared on reboot, which is
+            # exactly when a relaunched queue most needs cache hits
             jax.config.update(
                 "jax_compilation_cache_dir",
                 os.environ.get(
-                    "PMPX_COMPILE_CACHE_DIR", "/tmp/pmpx_jax_cache"
+                    "PMPX_COMPILE_CACHE_DIR",
+                    os.path.expanduser("~/.cache/pmpx_jax"),
                 ),
             )
             jax.config.update(

@@ -33,7 +33,30 @@ def run(
     out_dir: str = "results/multichain",
     scale: str = "smoke",
     method: str = "auto",
+    mode: str = "single",
+    ps: str = "8,16,32,64,128,256,512",
+    algos: str = "mp,pmp",
+    path: str = "sharded",
+    chunk: int = 500,
+    out_name: str = "",
 ):
+    if mode == "sweep":
+        # chain-farm ESS/R-hat table (``--mode sweep``); comma-separated
+        # --ps / --algos, e.g. the paper-grade 1M-step fused farm:
+        #   multichain --mode sweep --path fused --num-steps 1000000
+        # the CLI pre-parses "8,16" into a tuple; accept both forms
+        if isinstance(ps, str):
+            ps = tuple(int(p) for p in ps.split(",") if p)
+        elif isinstance(ps, int):
+            ps = (ps,)
+        if isinstance(algos, str):
+            algos = tuple(a for a in algos.split(",") if a)
+        return sweep(
+            Ps=tuple(ps), algos=tuple(algos),
+            n_chains=n_chains, num_steps=num_steps, n_data=n_data,
+            step_size=step_size, seed=seed, out_dir=out_dir, path=path,
+            chunk=chunk, out_name=out_name or None,
+        )
     if scale == "paper":
         n_data, num_steps = 100000, 5000
     x, y = make_synthetic_linreg(jax.random.key(seed), n_data)
@@ -93,6 +116,7 @@ def sweep(
     out_dir: str = "artifacts/multichain",
     path: str = "sharded",
     chunk: int = 500,
+    out_name: str | None = None,
 ):
     """Chain-farm ESS table: aggregate ESS/s + split-R-hat per P.
 
@@ -129,10 +153,18 @@ def sweep(
         ),
         jnp.float32,
     )
+    # shard count must (a) not exceed the devices present (a single real
+    # TPU chip farms all chains locally via lax.map — the megakernel owns
+    # the chip per step anyway), (b) stay <=4 for interpret-mode fused on
+    # CPU (more concurrent callback shards deadlock the host pool), and
+    # (c) divide n_chains, or shard_map rejects the (C,) inputs with an
+    # opaque sharding error (ADVICE r4).
+    limit = len(jax.devices())
     if path == "fused" and jax.default_backend() != "tpu":
-        mesh = make_mesh(chains=min(n_chains, 4))
-    else:
-        mesh = make_mesh(chains=n_chains)
+        limit = min(limit, 4)
+    cap = max(s for s in range(1, min(n_chains, limit) + 1)
+              if n_chains % s == 0)
+    mesh = make_mesh(chains=cap)
     collect = lambda th, o: th
     rows = []
     for algo in algos:
@@ -151,13 +183,15 @@ def sweep(
                 )
             if path == "fused":
                 from pmpx.kernels import fused_chain as fc
-                from pmpx.parallel import run_chains_fused
+                from pmpx.parallel import make_chain_farm_fused
 
-                farm = lambda k, t, c=fc.spec_to_cfg(spec): (
-                    run_chains_fused(
-                        target, c, k, t, num_steps, mesh,
-                        chunk=min(chunk, num_steps),
-                    )
+                # built ONCE per cell so the warm-up call below hits the
+                # same compiled executable as the timed call (ADVICE r4:
+                # a per-call run_chains_fused re-traced the kernel and
+                # the timed call paid the re-compile)
+                farm = make_chain_farm_fused(
+                    target, fc.spec_to_cfg(spec), num_steps, mesh,
+                    chunk=min(chunk, num_steps),
                 )
             else:
                 superstep = spec.build(target)
@@ -211,7 +245,9 @@ def sweep(
         "path": path,
         "rows": rows,
     }
-    name = "chain_farm_fused.json" if path == "fused" else "chain_farm.json"
+    name = out_name or (
+        "chain_farm_fused.json" if path == "fused" else "chain_farm.json"
+    )
     with open(_os.path.join(out_dir, name), "w") as f:
         _json.dump(summary, f, indent=1)
     return summary

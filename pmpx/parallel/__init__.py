@@ -6,6 +6,7 @@ from pmpx.parallel.mesh import (
 )
 from pmpx.parallel.chains import (
     run_chains_data_sharded,
+    make_chain_farm_fused,
     run_chains_fused,
     run_chains_sharded,
     run_chains_vmapped,
@@ -20,6 +21,7 @@ __all__ = [
     "AXIS_TREE",
     "make_mesh",
     "run_chains_data_sharded",
+    "make_chain_farm_fused",
     "run_chains_fused",
     "run_chains_sharded",
     "run_chains_vmapped",

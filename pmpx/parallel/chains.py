@@ -25,6 +25,7 @@ __all__ = [
     "run_chains_vmapped",
     "run_chains_data_sharded",
     "run_chains_fused",
+    "make_chain_farm_fused",
 ]
 
 
@@ -79,6 +80,47 @@ def run_chains_sharded(
     return run(keys, theta0)
 
 
+def make_chain_farm_fused(
+    target,
+    cfg,
+    num_steps: int,
+    mesh: Mesh,
+    *,
+    chunk: int = 512,
+    rng: str = "kernel",
+    interpret=False,
+) -> Callable:
+    """Build a reusable fused-megakernel chain farm: ``(keys, theta0) -> roots``.
+
+    Constructs :func:`pmpx.kernels.fused_chain.make_fused_chain` and the
+    shard_map'd runner ONCE; the returned callable is stable, so jit /
+    shard_map caching keys on it and a warm-up call genuinely warms
+    subsequent timed calls (the per-invocation construction inside the old
+    ``run_chains_fused`` re-traced the Pallas kernel every call, paying
+    remote-compile in the *timed* call — ADVICE r4).
+    """
+    from pmpx.kernels.fused_chain import make_fused_chain
+
+    runk = make_fused_chain(target, cfg, chunk=chunk, rng=rng,
+                            interpret=interpret)
+    spec_chain = P(AXIS_CHAINS)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_chain, spec_chain),
+        out_specs=spec_chain,
+        check_vma=False,
+    )
+    def run(local_keys, local_theta0):
+        return jax.lax.map(
+            lambda kt: runk(kt[0], kt[1], num_steps),
+            (local_keys, local_theta0),
+        )
+
+    return run
+
+
 def run_chains_fused(
     target,
     cfg,
@@ -107,27 +149,15 @@ def run_chains_fused(
     ``chains`` axis size.  Returns the (C, num_steps, 3) root traces.
     Bit-identical to running ``make_fused_chain``'s ``run`` serially per
     chain with the same keys (asserted in ``tests/test_parallel.py``).
+
+    One-shot convenience over :func:`make_chain_farm_fused` — for repeated
+    calls (warm-up then timing) build the farm once with that instead.
     """
-    from pmpx.kernels.fused_chain import make_fused_chain
-
-    runk = make_fused_chain(target, cfg, chunk=chunk, rng=rng,
-                            interpret=interpret)
-    spec_chain = P(AXIS_CHAINS)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_chain, spec_chain),
-        out_specs=spec_chain,
-        check_vma=False,
+    farm = make_chain_farm_fused(
+        target, cfg, num_steps, mesh, chunk=chunk, rng=rng,
+        interpret=interpret,
     )
-    def run(local_keys, local_theta0):
-        return jax.lax.map(
-            lambda kt: runk(kt[0], kt[1], num_steps),
-            (local_keys, local_theta0),
-        )
-
-    return run(keys, theta0)
+    return farm(keys, theta0)
 
 
 def run_chains_data_sharded(
