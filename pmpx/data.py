@@ -58,15 +58,38 @@ def _data_dir() -> str:
 
 def _try_npz(name: str):
     path = os.path.join(_data_dir(), name)
-    if os.path.exists(path):
+    if not os.path.exists(path):
+        return None
+    # a present-but-malformed file must fail LOUDLY, never silently fall
+    # back to synthetic data — a corrupt download would otherwise change
+    # the experiment without a word (VERDICT r4 weak #4)
+    try:
         z = np.load(path)
-        return (
-            jnp.asarray(z["x_train"]),
-            jnp.asarray(z["y_train"]),
-            jnp.asarray(z["x_test"]),
-            jnp.asarray(z["y_test"]),
+    except Exception as e:
+        raise ValueError(
+            f"{path}: not a readable npz archive ({e}); re-download or "
+            f"regenerate it, or remove it to use the synthetic stand-in"
+        ) from e
+    keys = ("x_train", "y_train", "x_test", "y_test")
+    missing = [k for k in keys if k not in z.files]
+    if missing:
+        raise ValueError(
+            f"{path}: missing arrays {missing}; pmpx npz datasets need "
+            f"all of {list(keys)} (found {z.files})"
         )
-    return None
+    x_tr, y_tr, x_te, y_te = (z[k] for k in keys)
+    for split, x, y in (("train", x_tr, y_tr), ("test", x_te, y_te)):
+        if len(x) != len(y):
+            raise ValueError(
+                f"{path}: x_{split} has {len(x)} images but y_{split} "
+                f"has {len(y)} labels"
+            )
+    return (
+        jnp.asarray(x_tr),
+        jnp.asarray(y_tr),
+        jnp.asarray(x_te),
+        jnp.asarray(y_te),
+    )
 
 
 def _read_idx(path: str) -> np.ndarray:
@@ -77,18 +100,46 @@ def _read_idx(path: str) -> np.ndarray:
     (images magic 0x0803, labels 0x0801); anything else is rejected
     loudly rather than misparsed."""
     opener = gzip.open if path.endswith(".gz") else open
+
+    def read_exact(f, n, what):
+        try:
+            buf = f.read(n)
+        except (OSError, EOFError) as e:  # e.g. truncated gzip stream
+            raise ValueError(
+                f"{path}: unreadable {what} ({e}); the file is likely a "
+                f"truncated or corrupt download — re-fetch it"
+            ) from e
+        if len(buf) != n:
+            raise ValueError(
+                f"{path}: truncated {what} (wanted {n} bytes, got "
+                f"{len(buf)}); re-download the file"
+            )
+        return buf
+
     with opener(path, "rb") as f:
-        zero, dtype, ndim = struct.unpack(">HBB", f.read(4))
+        zero, dtype, ndim = struct.unpack(
+            ">HBB", read_exact(f, 4, "IDX magic header")
+        )
         if zero != 0 or dtype != 0x08:
             raise ValueError(
                 f"{path}: not a u8 IDX file "
                 f"(magic {zero:#06x} dtype {dtype:#04x})"
             )
-        dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
-        data = np.frombuffer(f.read(), dtype=np.uint8)
+        dims = struct.unpack(
+            f">{ndim}I", read_exact(f, 4 * ndim, "IDX dimension header")
+        )
+        try:
+            data = np.frombuffer(f.read(), dtype=np.uint8)
+        except (OSError, EOFError) as e:
+            raise ValueError(
+                f"{path}: unreadable payload ({e}); truncated or corrupt "
+                f"download — re-fetch it"
+            ) from e
     if data.size != int(np.prod(dims)):
         raise ValueError(
-            f"{path}: payload {data.size} != header dims {dims}"
+            f"{path}: payload has {data.size} bytes but the header "
+            f"promises dims {tuple(dims)} = {int(np.prod(dims))}; the "
+            f"file is truncated or corrupt — re-download it"
         )
     return data.reshape(dims)
 
@@ -117,6 +168,28 @@ def _try_mnist_idx():
     if any(p is None for p in paths):
         return None
     x_tr, y_tr, x_te, y_te = (_read_idx(p) for p in paths)
+    for split, x, y, xp, yp in (
+        ("train", x_tr, y_tr, paths[0], paths[1]),
+        ("test", x_te, y_te, paths[2], paths[3]),
+    ):
+        if x.ndim != 3:
+            raise ValueError(
+                f"{xp}: expected a 3-D image tensor (N, rows, cols), got "
+                f"header dims {x.shape} — is this really the MNIST "
+                f"{split}-images file?"
+            )
+        if y.ndim != 1:
+            raise ValueError(
+                f"{yp}: expected a 1-D label vector, got header dims "
+                f"{y.shape} — is this really the MNIST {split}-labels "
+                f"file?"
+            )
+        if len(x) != len(y):
+            raise ValueError(
+                f"MNIST {split} split mismatch: {xp} has {len(x)} images "
+                f"but {yp} has {len(y)} labels — the files are from "
+                f"different downloads or one is truncated"
+            )
     return (
         jnp.asarray(x_tr),
         jnp.asarray(y_tr),
@@ -137,11 +210,33 @@ def _try_cifar_batches():
         return None
 
     def read(name):
-        with open(os.path.join(root, name), "rb") as f:
-            d = pickle.load(f, encoding="bytes")
+        p = os.path.join(root, name)
+        try:
+            with open(p, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+        except Exception as e:
+            raise ValueError(
+                f"{p}: not a readable CIFAR-10 pickle batch ({e}); the "
+                f"file is likely truncated or corrupt — re-download it"
+            ) from e
+        if not isinstance(d, dict) or b"data" not in d or b"labels" not in d:
+            keys = list(d.keys()) if isinstance(d, dict) else type(d)
+            raise ValueError(
+                f"{p}: CIFAR-10 batch pickles must be dicts with b'data' "
+                f"and b'labels' keys (found {keys})"
+            )
         x = np.asarray(d[b"data"], dtype=np.uint8)
-        x = x.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # CHW -> NHWC
+        if x.ndim != 2 or x.shape[1] != 3072:
+            raise ValueError(
+                f"{p}: b'data' rows must be 3072-byte CHW images, got "
+                f"shape {x.shape}"
+            )
         y = np.asarray(d[b"labels"], dtype=np.int32)
+        if len(x) != len(y):
+            raise ValueError(
+                f"{p}: {len(x)} image rows but {len(y)} labels"
+            )
+        x = x.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # CHW -> NHWC
         return x, y
 
     parts = [read(n) for n in train_names]
