@@ -343,8 +343,124 @@ def bf16_delta(
     return out
 
 
+def bf16_chain(
+    algo: str = "mh",
+    num_steps: int = 10000,
+    chunk: int = 500,
+    N: int = 7,
+    alpha: float = 1e-4,
+    n_train: int = 60000,
+    n_test: int = 10000,
+    class_sep: float = 0.35,
+    label_noise: float = 0.05,
+    seed: int = 0,
+    pretrain_steps: int = 50,
+    proposal_chunk: int = 4,
+    out_dir: str = "artifacts/bf16_fidelity",
+):
+    """Chain-level bf16 fidelity at the paper protocol (VERDICT r4 #4).
+
+    ``bf16_delta`` bounds the ONE-step acceptance perturbation; this
+    study bounds what the production bf16 rows actually claim — that the
+    chain statistics match f32.  Two MNIST-CNN chains run the exact
+    paper-cell protocol (full batch, ``class_sep=0.35`` + 5% label
+    noise, per-algo tempering as in ``experiments/mnist.py``) from the
+    SAME pretrained state with the SAME key stream; only
+    ``compute_dtype`` differs.  Reported per dtype: move rate, tail
+    loss mean/std, tail-loss ESS, final train/test accuracy — plus the
+    coupled ``first_divergence_step`` (the chains are bit-coupled until
+    a bf16-perturbed density first flips a selection).  The reference's
+    analogous sensitivity concern is its hand-tuned stabilizer tables
+    (``conv_mp.cu:88-97``).
+    """
+    from pmpx.experiments.mnist import pretrain
+    from pmpx.metrics import ess as _ess
+
+    assert num_steps % chunk == 0, "num_steps must be divisible by chunk"
+    x_tr, y_tr, x_te, y_te = load_mnist(
+        n_train=n_train, n_test=n_test, class_sep=class_sep,
+        label_noise=label_noise,
+    )
+    temper = 1000.0 if algo == "mh" else 10.0
+    spec = _mnist_spec(algo, alpha, N)
+
+    def make_target(dt):
+        return NNPosterior(
+            MNIST_MODELS["CNN"]("nhwc"), x_tr, y_tr, temper=temper,
+            init_key=jax.random.key(seed), proposal_chunk=proposal_chunk,
+            compute_dtype=dt,
+        )
+
+    # shared warm start (pretrained on the f32 target: both chains must
+    # begin from the bitwise-identical theta)
+    theta0 = pretrain(make_target(None), pretrain_steps)
+    keys = jax.random.split(jax.random.key(seed + 1), num_steps // chunk)
+
+    res = {
+        "protocol": {
+            "cell": f"MNIST_CNN_{algo.upper()}", "num_steps": num_steps,
+            "alpha": alpha, "N": N, "temper": temper,
+            "n_train": n_train, "class_sep": class_sep,
+            "label_noise": label_noise, "seed": seed,
+        },
+    }
+    traces = {}
+    for dname, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        target = make_target(dt)
+        superstep = spec.build(target)
+
+        def collect(th, o, temper=target.temper):
+            moved = o["accepted"] if "accepted" in o else (
+                o["root_index"] != 0
+            )
+            return (-jnp.asarray(o["root_logp"], jnp.float32) / temper,
+                    jnp.asarray(moved, jnp.float32).reshape(()))
+
+        @jax.jit
+        def chunk_fn(k, t, X):
+            with target.bound_data(X):
+                return run_chain(superstep, k, t, chunk, collect=collect)
+
+        theta, loss_parts, mv_parts = theta0, [], []
+        for k in keys:
+            theta, (lo, mv) = chunk_fn(k, theta, x_tr)
+            loss_parts.append(np.asarray(lo))
+            mv_parts.append(np.asarray(mv))
+        loss = np.concatenate(loss_parts).ravel()
+        moved = np.concatenate(mv_parts).ravel()
+        tail = loss[num_steps // 2:]
+        traces[dname] = loss
+        res[dname] = {
+            "move_rate": float(moved.mean()),
+            "loss_mean_tail": float(tail.mean()),
+            "loss_std_tail": float(tail.std()),
+            "ess_loss_tail": float(_ess(jnp.asarray(tail))),
+            "train_acc": float(jax.jit(target.accuracy)(theta, x_tr, y_tr)),
+            "test_acc": float(jax.jit(target.accuracy)(theta, x_te, y_te)),
+        }
+    # coupled-prefix length: same keys => bit-coupled until a perturbed
+    # density flips a selection (loss equality is the cheap witness)
+    diff = np.nonzero(
+        np.abs(traces["f32"] - traces["bf16"])
+        > 1e-6 * (1.0 + np.abs(traces["f32"]))
+    )[0]
+    res["first_divergence_step"] = int(diff[0]) if len(diff) else None
+    res["gaps"] = {
+        k: res["bf16"][k] - res["f32"][k]
+        for k in ("move_rate", "loss_mean_tail", "train_acc", "test_acc")
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"bf16_chain_{algo}.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    np.savez(
+        os.path.join(out_dir, f"bf16_chain_{algo}.npz"),
+        loss_f32=traces["f32"], loss_bf16=traces["bf16"],
+    )
+    return res
+
+
 def run(
-    mode: str = "both",  # footprint | table | both | bf16_delta
+    mode: str = "both",  # footprint | table | both | bf16_delta | bf16_chain
     iters: int = 20,
     N: int = 7,
     P: int = 8,
@@ -353,7 +469,19 @@ def run(
     proposal_chunk=None,
     only: str | None = None,
     out_dir: str = "results/nn_perf",
+    algo: str = "mh",
+    num_steps: int = 10000,
+    chunk: int = 500,
+    class_sep: float = 0.35,
+    label_noise: float = 0.05,
+    n_test: int = 10000,
 ):
+    if mode == "bf16_chain":
+        return bf16_chain(
+            algo=algo, num_steps=num_steps, chunk=chunk, N=N,
+            n_train=n_mnist, n_test=n_test, class_sep=class_sep,
+            label_noise=label_noise, out_dir=out_dir,
+        )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "nn_perf.json")
     # merge into an existing artifact so cell-by-cell reruns accumulate —
