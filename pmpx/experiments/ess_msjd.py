@@ -19,7 +19,7 @@ import numpy as np
 from pmpx import tree
 from pmpx.config import SamplerSpec
 from pmpx.experiments._common import as_tuple
-from pmpx.metrics import ess, ess_per_dim, msjd
+from pmpx.metrics import ess, ess_chunked, ess_per_dim, msjd
 from pmpx.metrics.recorder import save_trace
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
 
@@ -123,17 +123,29 @@ def _finish_emit_cell(
     import os
 
     P = cols.shape[0]
-    root_e = float(ess(jnp.asarray(roots[burn_in:, 0])))
+    n_tail = num_steps - burn_in
+    # past ~256k steps the 2n-padded device FFT transient dominates the
+    # analysis stage; the chunked host estimator is numerically the same
+    # (Geyer truncation inside its adaptive window) at O(block) memory
+    long_stream = n_tail >= (1 << 18)
+    if long_stream:
+        root_e = ess_chunked(roots[burn_in:, 0])
+    else:
+        root_e = float(ess(jnp.asarray(roots[burn_in:, 0])))
     root_m = float(msjd(jnp.asarray(roots[burn_in:]))) * (
         num_steps - burn_in
     )
     # per-draw-slot stream ESS (the reference's dump streams as chains),
     # batched so the FFTs stay within device memory
     all_e = 0.0
-    B = 16
-    for j in range(0, P, B):
-        blk = jnp.asarray(cols[j:j + B, burn_in:].T)  # (n, <=B)
-        all_e += float(jnp.sum(ess_per_dim(blk)))
+    if long_stream:
+        for j in range(P):
+            all_e += ess_chunked(cols[j, burn_in:])
+    else:
+        B = 16
+        for j in range(0, P, B):
+            blk = jnp.asarray(cols[j:j + B, burn_in:].T)  # (n, <=B)
+            all_e += float(jnp.sum(ess_per_dim(blk)))
     all_m = sq_sum  # MSJD-rate numerator over the flattened stream
     del cols
     if not keep_emit:

@@ -3,7 +3,9 @@ from pmpx.metrics.analysis import (
     iteration_speedup,
     smooth_loss,
 )
-from pmpx.metrics.ess import autocov, ess, ess_per_dim, split_rhat
+from pmpx.metrics.ess import (
+    autocov, autocov_chunked, ess, ess_chunked, ess_per_dim, split_rhat,
+)
 from pmpx.metrics.mixing import move_rate, msjd, skewness
 from pmpx.metrics.recorder import (
     load_trace,
@@ -16,6 +18,8 @@ __all__ = [
     "iteration_speedup",
     "smooth_loss",
     "autocov",
+    "autocov_chunked",
+    "ess_chunked",
     "ess",
     "ess_per_dim",
     "split_rhat",

@@ -79,3 +79,44 @@ def test_split_rhat_mixed_vs_stuck():
     # chains at different levels -> large R-hat
     bad = good + jnp.arange(4.0)[:, None] * 3.0
     assert float(split_rhat(bad)) > 1.5
+
+
+def test_autocov_chunked_matches_full():
+    """Overlap-save chunked autocov == full-FFT autocov exactly (same
+    biased estimator), across block boundaries and short max_lag."""
+    from pmpx.metrics import autocov, autocov_chunked
+
+    x = np.asarray(jax.random.normal(jax.random.key(6), (5000,)))
+    x = np.cumsum(x) * 0.1 + x  # correlated series
+    full = np.asarray(autocov(jnp.asarray(x, jnp.float64)))
+    for block in (256, 1024, 1 << 16):
+        got = autocov_chunked(x, max_lag=300, block=block)
+        # the jax path computes in f32 (x64 off) — compare at f32 level;
+        # chunked-vs-chunked across block sizes must agree to f64
+        np.testing.assert_allclose(got, full[:301], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        autocov_chunked(x, max_lag=300, block=256),
+        autocov_chunked(x, max_lag=300, block=1 << 16),
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+def test_ess_chunked_matches_ess():
+    """Chunked Geyer ESS == device full-FFT ESS, including when the
+    initial window is too small and must adaptively double."""
+    from pmpx.metrics import ess, ess_chunked
+
+    k = jax.random.key(7)
+    # AR(1) with strong correlation: truncation lag >> 8, forcing growth
+    e = np.asarray(jax.random.normal(k, (20000,)), np.float64)
+    x = np.empty_like(e)
+    x[0] = e[0]
+    for i in range(1, len(e)):
+        x[i] = 0.95 * x[i - 1] + e[i]
+    want = float(ess(jnp.asarray(x, jnp.float64)))
+    got = ess_chunked(x, max_lag=8, block=512)
+    assert abs(got - want) / want < 1e-6
+    # iid series: truncates immediately inside the first window
+    want2 = float(ess(jnp.asarray(e, jnp.float64)))
+    got2 = ess_chunked(e)
+    assert abs(got2 - want2) / want2 < 1e-6
