@@ -193,6 +193,28 @@ def test_multichain_diagnostics(tmp_path):
     assert abs(out["mean_beta0"] + 1.0) < 0.15
 
 
+def test_multichain_sweep_mode_dispatch(tmp_path):
+    """run(mode="sweep") — the queue-facing chain-farm entry — parses
+    comma/tuple P lists, writes the named artifact, and reports R-hat +
+    aggregate ESS/s per cell."""
+    from pmpx.experiments import multichain
+
+    out = multichain.run(
+        mode="sweep", ps="4,8", algos="mp", n_chains=8, num_steps=300,
+        n_data=512, out_dir=str(tmp_path), out_name="farm.json",
+    )
+    assert [r["P"] for r in out["rows"]] == [4, 8]
+    assert all(r["agg_ess_per_s"] > 0 for r in out["rows"])
+    saved = json.load(open(tmp_path / "farm.json"))
+    assert saved["rows"][0]["rhat_beta1"] > 0
+    # CLI pre-parsed form: tuple Ps / algos
+    out2 = multichain.run(
+        mode="sweep", ps=(4,), algos=("mp",), n_chains=4, num_steps=200,
+        n_data=512, out_dir=str(tmp_path), out_name="farm2.json",
+    )
+    assert len(out2["rows"]) == 1
+
+
 def test_cli_list_and_run(tmp_path):
     env_script = (
         "import os;"
