@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pmpx.config import SamplerSpec
-from pmpx.metrics import ess, split_rhat
+from pmpx.metrics import ess, ess_chunked, split_rhat
 from pmpx.metrics.recorder import save_trace
 from pmpx.parallel import make_mesh, run_chains_sharded, run_chains_vmapped
 from pmpx.targets.linreg import BayesLinReg, make_synthetic_linreg
@@ -216,11 +216,18 @@ def sweep(
                 "steps": int(num_steps),
                 "wall_s": float(wall),
             }
+            # long streams (the 1M-step paper farm): host-side chunked
+            # Geyer estimator — same result, O(block) memory, and no
+            # device FFT dispatches against the mid-stage TPU backend
+            long_stream = tail.shape[1] >= (1 << 18)
             total_ess = 0.0
             for j, name in enumerate(("beta0", "beta1", "sigma")):
                 vals = np.abs(tail[:, :, j]) if j == 2 else tail[:, :, j]
                 row[f"rhat_{name}"] = float(split_rhat(jnp.asarray(vals)))
-                ch_ess = [float(ess(jnp.asarray(v))) for v in vals]
+                if long_stream:
+                    ch_ess = [ess_chunked(v) for v in vals]
+                else:
+                    ch_ess = [float(ess(jnp.asarray(v))) for v in vals]
                 total_ess += sum(ch_ess)
                 row[f"ess_{name}"] = float(np.sum(ch_ess))
             row["agg_ess_per_s"] = total_ess / wall
