@@ -421,11 +421,19 @@ def bf16_chain(
             with target.bound_data(X):
                 return run_chain(superstep, k, t, chunk, collect=collect)
 
+        os.makedirs(out_dir, exist_ok=True)
         theta, loss_parts, mv_parts = theta0, [], []
-        for k in keys:
+        for ci, k in enumerate(keys):
             theta, (lo, mv) = chunk_fn(k, theta, x_tr)
             loss_parts.append(np.asarray(lo))
             mv_parts.append(np.asarray(mv))
+            # per-chunk heartbeat: the queue's stall monitor watches
+            # out-dir mtimes, and this stage otherwise writes nothing
+            # until the very end (compiles + 10k steps > 35 min silence)
+            with open(os.path.join(
+                    out_dir, f"progress_{algo}.log"), "a") as pf:
+                pf.write(f"{dname} chunk {ci + 1}/{len(keys)} "
+                         f"loss={loss_parts[-1][-1]:.4f}\n")
         loss = np.concatenate(loss_parts).ravel()
         moved = np.concatenate(mv_parts).ravel()
         tail = loss[num_steps // 2:]
