@@ -93,6 +93,7 @@ def run(
     chunk_steps=None,
     resume: bool = False,
     lstm_kernel: bool = False,
+    cnn_kernel: bool = False,
 ):
     """``chunk_steps``: run the chain as checkpointed device calls of
     that many supersteps (``pmpx.checkpoint.resume_chain``) instead of
@@ -151,6 +152,8 @@ def run(
     )
     if lstm_kernel and model != "LSTM":
         raise ValueError("--lstm-kernel requires --model LSTM")
+    if cnn_kernel and (model != "CNN" or layout != "nhwc"):
+        raise ValueError("--cnn-kernel requires --model CNN (nhwc)")
     if warm_start:
         # seed from a torch checkpoint, e.g. the reference's own committed
         # FC_model.pkl / CNN_model.pkl / LSTM_model.pkl (PMP_FC.py:188-189)
@@ -174,6 +177,17 @@ def run(
         from pmpx.kernels import lstm_fused
 
         lstm_fused.attach(target)
+
+    if cnn_kernel:
+        # MXU-shaped CNN forward (space-to-depth conv1 + phase-max pool
+        # + proposal-grouped conv2, pmpx/kernels/cnn_fast.py).  Same
+        # contract as lstm_kernel: forward-only, attached after
+        # pretrain, and a protocol field — kernel-path and XLA-path
+        # chains must never splice (float reassociation changes the
+        # density rounding that acceptance weights compare).
+        from pmpx.kernels import cnn_fast
+
+        cnn_fast.attach(target)
 
     superstep = sampler_spec(algo, alpha, N).build(target)
     # CE loss of the chosen state, from the superstep's own density
@@ -205,6 +219,7 @@ def run(
             # must keep matching, and a kernel run must never splice
             # onto an XLA-path prefix (different density rounding)
             **({"lstm_kernel": True} if lstm_kernel else {}),
+            **({"cnn_kernel": True} if cnn_kernel else {}),
             "layout": layout,
             "warm_start": warm_start or None,
             "pretrain_steps": None if warm_start else int(pretrain_steps),
