@@ -381,19 +381,21 @@ def mnist(out_dir="artifacts/mnist_paper",
             top = best[_cell(stem, row)]
             if top != stem:
                 row["superseded_by"] = top
-    # XLA-path LSTM cells are FROZEN as recorded (VERDICT r4): at ~156 ms
-    # /superstep the 1M protocol is ~39 h/cell, while the fused-kernel
-    # path (same sampler, separate density-rounding protocol — chains can
-    # never splice) runs ~7-22 ms.  All LSTM chip-hours go to the kernel
-    # ladder; these prefixes stay as the honest XLA-path record.
+    # XLA-path cells whose protocol continues on a fused/MXU-shaped
+    # kernel path are FROZEN as recorded (VERDICT r4): the kernel path
+    # is the same sampler under a separate density-rounding protocol
+    # (chains can never splice), and it is 2-20x faster, so all
+    # remaining chip-hours go to the kernel ladder; these prefixes stay
+    # as the honest XLA-path record.
     for cell, stem in best.items():
-        if cell.endswith("_LSTM"):
+        if cell + "_kernel" in best:
             res[stem]["final"] = True
             res[stem]["frozen_note"] = (
-                "XLA-path LSTM cell frozen at this honest prefix; the "
-                "1M-step protocol continues on the fused-kernel path "
-                "(separate protocol, see the *_LSTM_kernel cell) — "
-                "kernel and XLA chains are never spliced"
+                "XLA-path cell frozen at this honest prefix; the "
+                "reference protocol continues on the kernel path "
+                f"(separate density-rounding protocol, see the "
+                f"{cell}_kernel cell) — kernel and XLA chains are "
+                "never spliced"
             )
     res["current_cells"] = dict(sorted(best.items()))
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
