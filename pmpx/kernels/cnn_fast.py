@@ -34,6 +34,20 @@ superstep).  Rounding differs from the flax/XLA path by reassociation
 only, but densities feed acceptance weights, so — like the fused LSTM
 kernel — this is a *protocol field*: kernel-path and XLA-path chains must
 never be spliced (``pmpx/experiments/mnist.py`` sidecars enforce it).
+
+MEASURED RESULT (r5, paper-scale MP P=8 bf16 on v5e): 72.6 ms/superstep
+with ``proposal_chunk=4`` and 75.7 ms at full P, vs 78.6 ms for the
+plain NHWC path (``artifacts/nn_perf_cnnfast{,_fullp}/``) — only ~1.08x.
+Per-proposal cost is linear in P on both paths, so the superstep is
+dominated by per-proposal work that conv1's MXU tiling does NOT bound:
+the profile is consistent with HBM traffic on the (B,24,24,10)-sized
+activation round-trips (~2.5 GB/proposal), which this path reorganizes
+but does not reduce.  Kept, like ``pmpx/kernels/convpack.py``, as a
+measured-alternative with the numbers published; the paper-protocol CNN
+cells stay on the plain XLA path.  Cutting that traffic needs a Pallas
+fusion of conv1->pool->conv2 with VMEM-resident tiles (the LSTM-kernel
+treatment) — hostile Mosaic shapes (10/20-channel lanes), left as the
+known ~2x headroom.
 """
 
 from __future__ import annotations
