@@ -1,118 +1,79 @@
-"""Unit tests for scripts/summarize_paper.py's MNIST cell indexing.
+"""Unit tests for the paper-summary machinery (scripts/summarize_paper).
 
-The paper queue extends each (algo, model) chain through resumable
-prefix rungs, so the artifact dir holds several honest-length stems of
-the same cell; the summary must point the reader at the longest one and
-mark the rest superseded (VERDICT r3 weak #5's stale-summary class of
-bug, generalized).
+The summary index is what the queue's terminal stages publish and what
+downstream readers (curves.pdf, README tables) trust: per-cell honest
+step counts, superseded-prefix marking, and the freeze rule for XLA
+cells whose protocol continues on a kernel path.
 """
 
 import importlib.util
 import json
 import os
+import sys
 
 import numpy as np
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 @pytest.fixture(scope="module")
 def summarize():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "sp_under_test", os.path.join(REPO, "scripts", "summarize_paper.py")
+        "summarize_paper", os.path.join(root, "scripts",
+                                        "summarize_paper.py")
     )
     mod = importlib.util.module_from_spec(spec)
+    sys.modules["summarize_paper"] = mod
     spec.loader.exec_module(mod)
     return mod
 
 
-def _fake_run(out_dir, algo, steps, model, test_acc):
-    stem = f"{algo}_alpha_0.0001_sample_number_{steps}{model}_N_7"
-    np.save(os.path.join(out_dir, stem + ".loss.npy"),
-            np.linspace(2.0, 0.5, steps).astype(np.float32))
-    with open(os.path.join(out_dir, stem + ".json"), "w") as f:
-        json.dump({"model": model, "num_steps": steps,
-                   "test_acc": test_acc,
-                   "steady_ms_per_superstep": 1.0}, f)
-    return stem
+def _write_cell(d, stem, steps, model, acc=0.9, ms=10.0):
+    np.save(os.path.join(d, stem + ".loss.npy"),
+            np.linspace(2.0, 1.0, steps))
+    with open(os.path.join(d, stem + ".json"), "w") as f:
+        json.dump({"model": model, "train_acc": acc, "test_acc": acc,
+                   "num_steps": steps,
+                   "steady_ms_per_superstep": ms}, f)
 
 
-def test_mnist_summary_marks_prefix_rungs_superseded(summarize, tmp_path):
-    out = str(tmp_path)
-    s_old = _fake_run(out, "PMP", 1000, "CNN", 0.90)
-    s_new = _fake_run(out, "PMP", 5000, "CNN", 0.93)
-    s_mh = _fake_run(out, "MH", 2000, "CNN", 0.88)
-    s_fc = _fake_run(out, "PMP", 3000, "FC", 0.94)
+def test_mnist_summary_index(summarize, tmp_path):
+    out = tmp_path / "paper"
+    kern = tmp_path / "kernel"
+    out.mkdir(), kern.mkdir()
+    # XLA-path cells: a full FC cell, a short LSTM prefix, and a
+    # superseded shorter prefix of the FC run
+    _write_cell(str(out), "PMP_alpha_0.0001_sample_number_500000FC_N_7",
+                5000, "FC")
+    _write_cell(str(out), "PMP_alpha_0.0001_sample_number_250000FC_N_7",
+                2500, "FC")
+    _write_cell(str(out), "MP_alpha_0.0001_sample_number_12000LSTM_N_7",
+                1200, "LSTM")
+    # kernel-path sibling carrying the LSTM protocol further
+    _write_cell(str(kern), "MP_alpha_0.0001_sample_number_300000LSTM_N_7",
+                3000, "LSTM")
+    summarize.mnist(out_dir=str(out), kernel_dir=str(kern))
+    s = json.load(open(out / "summary.json"))
 
-    kdir = str(tmp_path / "kernel")
-    os.makedirs(kdir)
-    s_k = _fake_run(kdir, "PMP", 8000, "LSTM", 0.61)
-
-    summarize.mnist(out_dir=out, kernel_dir=kdir)
-    with open(os.path.join(out, "summary.json")) as f:
-        res = json.load(f)
-
-    assert res["current_cells"] == {
-        "MH_CNN": s_mh, "PMP_CNN": s_new, "PMP_FC": s_fc,
-        "PMP_LSTM_kernel": s_k + "@kernel",
-    }
-    assert res[s_k + "@kernel"]["path"] == "fused_kernel"
-    assert res[s_old]["superseded_by"] == s_new
-    for stem in (s_new, s_mh, s_fc):
-        assert "superseded_by" not in res[stem]
-    # honest fractions against the reference protocol lengths
-    assert res[s_new]["fraction_of_reference_protocol"] == round(
-        5000 / 250000, 3)
-    assert os.path.exists(os.path.join(out, "curves.pdf"))
-
-
-def test_mnist_curves_overlays_kernel_dir(summarize, tmp_path, monkeypatch):
-    """The per-model figure must include the fused-kernel-path chains
-    (dashed ALGO@kernel) from the separate protocol dir — the 1M-ladder
-    kernel LSTM run has to be visible next to the XLA-path cells."""
-    out = str(tmp_path / "paper")
-    kdir = str(tmp_path / "kernel")
-    os.makedirs(out)
-    os.makedirs(kdir)
-    _fake_run(out, "PMP", 500, "LSTM", 0.60)
-    _fake_run(kdir, "PMP", 900, "LSTM", 0.61)
-
-    calls = {}
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.axes
-
-    orig = matplotlib.axes.Axes.plot
-
-    def spy(self, *args, **kw):
-        calls[kw.get("label", "")] = kw.get("ls")
-        return orig(self, *args, **kw)
-
-    monkeypatch.setattr(matplotlib.axes.Axes, "plot", spy)
-    summarize._mnist_curves_pdf(out, kernel_dir=kdir)
-    assert calls.get("PMP (500 steps)") == "-"
-    assert calls.get("PMP@kernel (900 steps)") == "--"
-
-
-def test_ess_paths_overlay_ratios(summarize, tmp_path):
-    """ess() overlays the scan and fused 1M-step P sweeps and records
-    the per-cell fused/scan ratio on the all-stream estimator."""
-    sdir, fdir, odir = (str(tmp_path / d) for d in ("scan", "fused", "out"))
-    for d, scale in ((sdir, 1.0), (fdir, 2.5)):
-        os.makedirs(d)
-        rows = {}
-        for P in (8, 512):
-            rows[f"pmp_P{P}_all_ess_per_s"] = 100.0 * P * scale
-            rows[f"pmp_P{P}_all_msjd_per_s"] = 10.0 * P * scale
-            rows[f"pmp_P{P}_ess_per_s"] = 1.0  # root path: ignored
-        with open(os.path.join(d, "summary.json"), "w") as f:
-            json.dump(rows, f)
-    summarize.ess(scan_dir=sdir, fused_dir=fdir, out_dir=odir)
-    with open(os.path.join(odir, "ess_paths.json")) as f:
-        res = json.load(f)
-    assert res["fused_over_scan"]["ess_per_s"] == {
-        "pmp_P8": 2.5, "pmp_P512": 2.5}
-    assert res["fused_over_scan"]["msjd_per_s"]["pmp_P8"] == 2.5
-    assert os.path.exists(os.path.join(odir, "ess_paths_compare.pdf"))
-    assert os.path.exists(os.path.join(odir, "msjd_paths_compare.pdf"))
+    cells = s["current_cells"]
+    assert cells["PMP_FC"] == "PMP_alpha_0.0001_sample_number_500000FC_N_7"
+    assert cells["MP_LSTM_kernel"].endswith("@kernel")
+    # the shorter FC prefix points at the longer run
+    assert (s["PMP_alpha_0.0001_sample_number_250000FC_N_7"]
+            ["superseded_by"]
+            == "PMP_alpha_0.0001_sample_number_500000FC_N_7")
+    # freeze rule: the XLA LSTM cell (kernel sibling exists) is final...
+    lstm = s["MP_alpha_0.0001_sample_number_12000LSTM_N_7"]
+    assert lstm.get("final") is True
+    assert "never spliced" in lstm["frozen_note"]
+    # ...while the FC cell (no kernel sibling) is not frozen
+    fc = s["PMP_alpha_0.0001_sample_number_500000FC_N_7"]
+    assert "final" not in fc and "frozen_note" not in fc
+    # kernel cells report their path and honest protocol fraction
+    kcell = s[cells["MP_LSTM_kernel"]]
+    assert kcell["path"] == "fused_kernel"
+    assert kcell["fraction_of_reference_protocol"] == round(
+        3000 / 1000000, 3
+    )
+    # curves rendered next to the summary
+    assert (out / "curves.pdf").exists()
